@@ -1,0 +1,109 @@
+"""Frame rendering pipeline: model -> neural gaussians -> splat.
+
+Parity with ortho_gaussian_renderer/renderer.py:14-119 (``render``) plus
+preprocess.py:30-118 (``prefilter_voxel``), folded together: the TSW
+z-window is the ``window_for_frame`` dynamic slice, on-screen culling
+happens inside the rasterizer, and the visibility mask is carried as a
+static-shape boolean instead of a gathered index set.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gsvc_tpu.models.gaussians import (
+    GaussianConfig, GenerateMode, GeneratedGaussians, ModelState, RatePack,
+    generate_neural_gaussians, window_for_frame,
+)
+from gsvc_tpu.render.splat import RasterSettings, rasterize
+
+
+class RenderResults(NamedTuple):
+    """Per-render record (reference: common/base.py:9-27)."""
+
+    image: jnp.ndarray              # [H, W, 3]
+    window_start: jnp.ndarray      # int32 — anchor index of window row 0
+    in_window: jnp.ndarray         # [V] anchor-level visibility
+    radii: jnp.ndarray             # [V*K]
+    visibility_filter: jnp.ndarray  # [V*K] radii > 0
+    selection_mask: jnp.ndarray    # [V*K] neural_opacity>0 & in window
+    neural_opacity: jnp.ndarray    # [V*K, 1]
+    scaling: jnp.ndarray           # [V*K, 3] generated gaussian scales
+    num_rendered: jnp.ndarray
+    overflow: jnp.ndarray
+    rate: RatePack
+    gaussians: GeneratedGaussians
+
+
+def make_raster_settings(cfg: GaussianConfig, image_height: int,
+                         image_width: int, *, tile_h=16, tile_w=128,
+                         gaussian_cap=1024, chunk=64, tiles_per_gaussian=64,
+                         bg=0.0) -> RasterSettings:
+    return RasterSettings(
+        image_height=image_height, image_width=image_width,
+        threshold=cfg.threshold, kernel_size=cfg.kernel_size,
+        tile_h=tile_h, tile_w=tile_w, gaussian_cap=gaussian_cap,
+        chunk=chunk, tiles_per_gaussian=tiles_per_gaussian, bg=bg)
+
+
+def render_frame(
+    state: ModelState, cfg: GaussianConfig,
+    frame_z, x_min: float, y_min: float, scale: float,
+    settings: RasterSettings, window_cap: int,
+    mode: GenerateMode = GenerateMode.FULL_PRECISION,
+    key: Optional[jax.Array] = None,
+    flip: bool = False,
+    decoded: bool = False,
+    means2d: Optional[jnp.ndarray] = None,
+) -> RenderResults:
+    """Render one frame plane in one view direction.
+
+    ``flip=False`` is the forward view; ``flip=True`` the reversed "_s"
+    view whose image the caller x-flips before averaging
+    (reference: pipeline/train.py:358-375).
+    """
+    start, in_window = window_for_frame(state, cfg, frame_z, window_cap)
+    gss = generate_neural_gaussians(
+        state, cfg, frame_z=frame_z, cam_z=frame_z,
+        window_start=start, in_window=in_window, cap=window_cap,
+        mode=mode, key=key, decoded=decoded)
+
+    out = rasterize(
+        gss.xyz, gss.color, gss.opacity, gss.scaling, gss.rot, gss.valid,
+        frame_z, x_min, y_min, scale, settings, flip=flip, means2d=means2d)
+
+    return RenderResults(
+        image=out.image,
+        window_start=start,
+        in_window=in_window,
+        radii=out.radii,
+        visibility_filter=out.radii > 0,
+        selection_mask=gss.valid,
+        neural_opacity=gss.neural_opacity,
+        scaling=gss.scaling,
+        num_rendered=out.num_rendered,
+        overflow=out.overflow,
+        rate=gss.rate,
+        gaussians=gss,
+    )
+
+
+def render_frame_averaged(state, cfg, frame_z, x_min, y_min, scale, settings,
+                          window_cap, mode=GenerateMode.FULL_PRECISION,
+                          key=None, decoded=False):
+    """Forward + x-flipped reversed view, averaged — the full-frame
+    reconstruction used for eval and decode
+    (reference: pipeline/train.py:368-375, report_utils.py:412-447)."""
+    if key is not None:
+        key_f, key_b = jax.random.split(key)
+    else:
+        key_f = key_b = None
+    rf = render_frame(state, cfg, frame_z, x_min, y_min, scale, settings,
+                      window_cap, mode, key_f, flip=False, decoded=decoded)
+    rb = render_frame(state, cfg, frame_z, x_min, y_min, scale, settings,
+                      window_cap, mode, key_b, flip=True, decoded=decoded)
+    image = (rf.image + rb.image[:, ::-1, :]) / 2.0
+    return image, rf, rb

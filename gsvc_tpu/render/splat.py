@@ -1,0 +1,417 @@
+"""TPU-native orthographic gaussian splatting.
+
+Replaces the reference's external CUDA rasterizer
+(``diff_gaussian_rasterization.cuda_ortho_gaussian_rasterizer``, driven from
+ortho_gaussian_renderer/renderer.py:63-98 and preprocess.py:58-104).  The
+interface was reconstructed from those call sites; the implementation is a
+from-scratch TPU design:
+
+  * static shapes end-to-end — the caller passes fixed-capacity gaussian
+    arrays with a validity mask;
+  * the Toast-like Sliding Window is the ``threshold`` z-test around the
+    frame plane (settings.threshold, renderer.py:71);
+  * compositing is reformulated *associatively*: for depth-sorted gaussians
+    ``out = sum_i c_i a_i prod_{j<i}(1 - a_j)`` is computed with an
+    exclusive cum-product per chunk plus a carried transmittance, so the
+    color accumulation becomes a [P, C] x [C, 3] matmul (MXU) instead of a
+    sequential per-pixel loop;
+  * tile binning is done with one device-wide sort of (tile, depth-rank)
+    keys — the TPU replacement for CUDA per-tile atomics.
+
+The forward is plain jnp, so ``jax.grad`` provides the backward (including
+gradients to means2d for densification statistics, the analog of the
+reference's screenspace_points.grad).  A Pallas kernel with per-tile early
+exit provides the fast path (gsvc_tpu/render/pallas_splat.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# per-pixel transmittance saturation: once T drops below this, later
+# gaussians no longer contribute (standard 3DGS early-stop semantics)
+T_EPS = 1e-4
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+
+
+@dataclasses.dataclass(frozen=True)
+class RasterSettings:
+    """Static rasterization configuration (one compilation per value set).
+
+    Mirrors GaussianRasterizationSettings (renderer.py:63-83): image size,
+    the NDC->pixel mapping (x_min, y_min, scale), the TSW z half-width
+    ``threshold``, and the low-pass kernel added to the 2D covariance
+    (ModelParams.kernel_size).  ``tile_h/tile_w/gaussian_cap/chunk`` are
+    TPU execution knobs.
+    """
+
+    image_height: int
+    image_width: int
+    threshold: float
+    kernel_size: float = 0.3
+    tile_h: int = 16
+    tile_w: int = 128
+    gaussian_cap: int = 1024     # max binned gaussians per tile
+    chunk: int = 64              # gaussians per compositing step
+    tiles_per_gaussian: int = 64 # max tile copies emitted per gaussian
+    bg: float = 0.0
+
+    @property
+    def n_tiles_x(self) -> int:
+        return -(-self.image_width // self.tile_w)
+
+    @property
+    def n_tiles_y(self) -> int:
+        return -(-self.image_height // self.tile_h)
+
+    @property
+    def n_tiles(self) -> int:
+        return self.n_tiles_x * self.n_tiles_y
+
+
+class Projected(NamedTuple):
+    """Screen-space gaussians after orthographic projection."""
+
+    mean2d: jnp.ndarray    # [M, 2] pixel centers
+    conic: jnp.ndarray     # [M, 3] inverse 2D covariance (a, b, c)
+    depth: jnp.ndarray     # [M] compositing depth (ascending = front first)
+    radius: jnp.ndarray    # [M] pixel radius (0 => culled)
+    valid: jnp.ndarray     # [M] bool
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """Normalized quaternion [.., 4] (w, x, y, z) -> rotation matrix."""
+    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True).clip(1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    return jnp.stack([
+        jnp.stack([r00, r01, r02], -1),
+        jnp.stack([r10, r11, r12], -1),
+        jnp.stack([r20, r21, r22], -1),
+    ], axis=-2)
+
+
+def cov2d_from_scaling_rotation(scaling, rot, flip_x: bool):
+    """Top-left 2x2 block of R diag(s^2) R^T, as (xx, xy, yy).
+
+    Orthographic projection along z needs no Jacobian: the screen
+    covariance is just the xy block of the world covariance.  The reversed
+    ("_s") view mirrors x, which flips the sign of the xy term only.
+    """
+    r = quat_to_rotmat(rot)                     # [M, 3, 3]
+    m = r * scaling[..., None, :]               # R @ diag(s)
+    cov = m @ jnp.swapaxes(m, -1, -2)           # [M, 3, 3]
+    sxy = -cov[..., 0, 1] if flip_x else cov[..., 0, 1]
+    return cov[..., 0, 0], sxy, cov[..., 1, 1]
+
+
+def project_gaussians(
+    xyz, scaling, rot, valid,
+    frame_z: float, x_min: float, y_min: float, scale: float,
+    settings: RasterSettings, flip: bool = False,
+    means2d: Optional[jnp.ndarray] = None,
+) -> Projected:
+    """Orthographic projection + TSW cull.
+
+    ``flip`` selects the reversed view direction (frame.view_matrix_s):
+    screen x is mirrored and the depth order reverses.  ``means2d`` is an
+    optional zero [M, 2] tensor added to the pixel centers so the caller
+    can read d(loss)/d(screen position) — the densification statistic
+    (reference: screenspace_points, renderer.py:37-42).
+    """
+    x = -xyz[:, 0] if flip else xyz[:, 0]
+    y = xyz[:, 1]
+    z = xyz[:, 2]
+
+    px = (x - x_min) * scale - 0.5
+    py = (y - y_min) * scale - 0.5
+    mean2d = jnp.stack([px, py], axis=-1)
+    if means2d is not None:
+        mean2d = mean2d + means2d
+
+    # TSW: only gaussians within +-threshold of the frame plane render
+    dz = z - frame_z
+    in_window = jnp.abs(dz) <= settings.threshold
+    # compositing order: forward view looks toward -z => larger z is nearer
+    depth = dz if flip else -dz
+
+    sxx, sxy, syy = cov2d_from_scaling_rotation(scaling, rot, flip)
+    s2 = scale * scale
+    a = sxx * s2 + settings.kernel_size
+    b = sxy * s2
+    c = syy * s2 + settings.kernel_size
+
+    det = a * c - b * b
+    det = jnp.maximum(det, 1e-12)
+    conic = jnp.stack([c / det, -b / det, a / det], axis=-1)
+
+    mid = 0.5 * (a + c)
+    lam = mid + jnp.sqrt(jnp.maximum(mid * mid - det, 0.0))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    on_screen = (
+        (px + radius >= 0) & (px - radius <= settings.image_width - 1)
+        & (py + radius >= 0) & (py - radius <= settings.image_height - 1)
+    )
+    ok = valid & in_window & on_screen
+    radius = jnp.where(ok, radius, 0.0)
+    return Projected(mean2d=mean2d, conic=conic, depth=depth,
+                     radius=radius, valid=ok)
+
+
+# ---------------------------------------------------------------------------
+# Tile binning
+# ---------------------------------------------------------------------------
+
+def _bin_gaussians(proj: Projected, settings: RasterSettings):
+    """Build per-tile depth-ordered gaussian index lists.
+
+    One device-wide stable sort of (tile_id, depth_rank) keys replaces the
+    CUDA duplicate-key radix sort of 3DGS.  Each gaussian emits up to
+    ``tiles_per_gaussian`` copies covering its bbox in tile units; very
+    large gaussians are clamped to that coverage (scaling_reg and the
+    prune-time scale clamp keep footprints small in practice).
+
+    Returns (tile_lists [n_tiles, cap] int32 gaussian ids, tile_counts
+    [n_tiles], overflow diagnostics).
+    """
+    m = proj.mean2d.shape[0]
+    t_max = settings.tiles_per_gaussian
+
+    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+    order = jnp.argsort(depth_key)           # front-most first
+    # rank[g] = position of gaussian g in depth order
+    rank = jnp.zeros((m,), jnp.int32).at[order].set(
+        jnp.arange(m, dtype=jnp.int32))
+
+    x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    tx0 = jnp.clip(jnp.floor((x - r) / settings.tile_w), 0,
+                   settings.n_tiles_x - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((x + r) / settings.tile_w), 0,
+                   settings.n_tiles_x - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((y - r) / settings.tile_h), 0,
+                   settings.n_tiles_y - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((y + r) / settings.tile_h), 0,
+                   settings.n_tiles_y - 1).astype(jnp.int32)
+
+    wx = tx1 - tx0 + 1
+    wy = ty1 - ty0 + 1
+    n_cover = wx * wy
+
+    slot = jnp.arange(t_max, dtype=jnp.int32)[None, :]        # [1, T]
+    dy = slot // wx[:, None]
+    dx = slot - dy * wx[:, None]
+    copy_valid = (slot < n_cover[:, None]) & (dy < wy[:, None]) \
+        & proj.valid[:, None]
+    tile_id = (ty0[:, None] + dy) * settings.n_tiles_x + (tx0[:, None] + dx)
+
+    # lexicographic (tile, depth-rank) sort; int32-safe (no composite key)
+    tile_key = jnp.where(copy_valid, tile_id,
+                         jnp.int32(settings.n_tiles)).reshape(-1)
+    rank_key = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
+    gauss_id = jnp.broadcast_to(
+        jnp.arange(m, dtype=jnp.int32)[:, None], (m, t_max)).reshape(-1)
+
+    tile_sorted, _, gauss_sorted = jax.lax.sort(
+        (tile_key, rank_key, gauss_id), num_keys=2)
+
+    bounds = jnp.searchsorted(
+        tile_sorted, jnp.arange(settings.n_tiles + 1, dtype=jnp.int32))
+    tile_start = bounds[:-1]
+    tile_count = bounds[1:] - bounds[:-1]
+
+    cap = settings.gaussian_cap
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    gather_idx = tile_start[:, None] + j                    # [n_tiles, cap]
+    in_range = j < tile_count[:, None]
+    gather_idx = jnp.clip(gather_idx, 0, m * t_max - 1)
+    tile_lists = jnp.where(in_range, gauss_sorted[gather_idx], -1)
+
+    overflow = jnp.maximum(tile_count - cap, 0).sum()
+    total_copies = jnp.minimum(tile_count, cap).sum()
+    return tile_lists, jnp.minimum(tile_count, cap), overflow, total_copies
+
+
+# ---------------------------------------------------------------------------
+# Compositing
+# ---------------------------------------------------------------------------
+
+def _composite_tile(gauss_ids, count, tile_y, tile_x,
+                    mean2d, conic, opacity, color, settings: RasterSettings):
+    """Alpha-composite one tile.  gauss_ids: [cap] depth-ordered (-1 pad)."""
+    th, tw = settings.tile_h, settings.tile_w
+    py0 = tile_y * th
+    px0 = tile_x * tw
+    ys = py0 + jnp.arange(th, dtype=jnp.float32)[:, None]   # [th, 1]
+    xs = px0 + jnp.arange(tw, dtype=jnp.float32)[None, :]   # [1, tw]
+    pix = jnp.stack([
+        jnp.broadcast_to(xs, (th, tw)).reshape(-1),
+        jnp.broadcast_to(ys, (th, tw)).reshape(-1),
+    ], axis=-1)                                             # [P, 2]
+
+    cap, chunk = settings.gaussian_cap, settings.chunk
+    n_chunks = cap // chunk
+    ids_chunks = gauss_ids.reshape(n_chunks, chunk)
+    pos_chunks = jnp.arange(cap, dtype=jnp.int32).reshape(n_chunks, chunk)
+
+    p = th * tw
+
+    def step(carry, inp):
+        t_carry, acc = carry
+        ids, pos = inp
+        g_valid = (ids >= 0) & (pos < count)
+        safe = jnp.maximum(ids, 0)
+        mu = mean2d[safe]                    # [C, 2]
+        con = conic[safe]                    # [C, 3]
+        op = opacity[safe, 0]                # [C]
+        col = color[safe]                    # [C, 3]
+
+        d = pix[None, :, :] - mu[:, None, :]             # [C, P, 2]
+        q = (con[:, 0:1] * d[..., 0] ** 2
+             + 2.0 * con[:, 1:2] * d[..., 0] * d[..., 1]
+             + con[:, 2:3] * d[..., 1] ** 2)             # [C, P]
+        alpha = op[:, None] * jnp.exp(-0.5 * q)
+        alpha = jnp.minimum(alpha, ALPHA_MAX)
+        alpha = jnp.where(g_valid[:, None] & (alpha >= ALPHA_MIN), alpha, 0.0)
+
+        log_t = jnp.log1p(-alpha)                        # [C, P]
+        cum = jnp.cumsum(log_t, axis=0) - log_t          # exclusive
+        t_before = t_carry[None, :] * jnp.exp(cum)       # [C, P]
+        w = jnp.where(t_before >= T_EPS, alpha * t_before, 0.0)
+
+        # tiny [P,C]x[C,3] matmul; full fp32 accumulation (default bf16
+        # passes cost ~1e-3 pixel error, visible at 35+ dB targets)
+        acc = acc + jnp.einsum("cp,ck->pk", w, col,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+        t_carry = t_carry * jnp.exp(jnp.sum(
+            jnp.where(t_before >= T_EPS, log_t, 0.0), axis=0))
+        return (t_carry, acc), None
+
+    t0 = jnp.ones((p,), jnp.float32)
+    acc0 = jnp.zeros((p, 3), jnp.float32)
+    (t_final, acc), _ = jax.lax.scan(step, (t0, acc0), (ids_chunks, pos_chunks))
+
+    tile_img = acc + t_final[:, None] * settings.bg
+    return tile_img.reshape(th, tw, 3)
+
+
+class RasterOutput(NamedTuple):
+    image: jnp.ndarray        # [H, W, 3]
+    radii: jnp.ndarray        # [M] pixel radii (0 = culled)
+    num_rendered: jnp.ndarray # scalar: total tile-gaussian pairs composited
+    overflow: jnp.ndarray     # scalar: pairs dropped by per-tile capacity
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "flip"))
+def rasterize(xyz, color, opacity, scaling, rot, valid,
+              frame_z, x_min, y_min, scale,
+              settings: RasterSettings, flip: bool = False,
+              means2d: Optional[jnp.ndarray] = None) -> RasterOutput:
+    """Render fixed-capacity gaussians to an image.
+
+    Args mirror GaussianRasterizer.__call__ (renderer.py:90-98): means3D,
+    colors_precomp, opacities, scales, rotations; ``valid`` replaces the
+    dynamic-length gather of the reference (invalid rows simply cannot
+    contribute).  bg/threshold/tiling live in ``settings``.
+    """
+    proj = project_gaussians(xyz, scaling, rot, valid, frame_z, x_min, y_min,
+                             scale, settings, flip=flip, means2d=means2d)
+    opacity = jnp.where(proj.valid[:, None], opacity, 0.0)
+
+    tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
+        proj, settings)
+
+    tiles_y = jnp.arange(settings.n_tiles_y, dtype=jnp.int32)
+    tiles_x = jnp.arange(settings.n_tiles_x, dtype=jnp.int32)
+    ty_grid = jnp.repeat(tiles_y, settings.n_tiles_x)
+    tx_grid = jnp.tile(tiles_x, settings.n_tiles_y)
+
+    tile_imgs = jax.vmap(
+        lambda ids, cnt, ty, tx: _composite_tile(
+            ids, cnt, ty, tx, proj.mean2d, proj.conic, opacity, color,
+            settings)
+    )(tile_lists, tile_counts, ty_grid, tx_grid)
+
+    # [n_tiles, th, tw, 3] -> [H_pad, W_pad, 3] -> crop
+    img = tile_imgs.reshape(settings.n_tiles_y, settings.n_tiles_x,
+                            settings.tile_h, settings.tile_w, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(
+        settings.n_tiles_y * settings.tile_h,
+        settings.n_tiles_x * settings.tile_w, 3)
+    img = img[:settings.image_height, :settings.image_width]
+
+    return RasterOutput(image=img, radii=proj.radius,
+                        num_rendered=n_rendered, overflow=overflow)
+
+
+# ---------------------------------------------------------------------------
+# Dense reference (oracle for tests): quadratic cost, tiny images only.
+# ---------------------------------------------------------------------------
+
+def rasterize_dense_reference(xyz, color, opacity, scaling, rot, valid,
+                              frame_z, x_min, y_min, scale,
+                              settings: RasterSettings, flip: bool = False):
+    """O(M * H * W) reference compositor used by the test suite."""
+    proj = project_gaussians(xyz, scaling, rot, valid, frame_z, x_min, y_min,
+                             scale, settings, flip=flip)
+    m = xyz.shape[0]
+    order = np.argsort(np.where(np.asarray(proj.valid), proj.depth, np.inf),
+                       kind="stable")
+    h, w = settings.image_height, settings.image_width
+    img = np.zeros((h, w, 3), np.float32)
+    t = np.ones((h, w), np.float32)
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    mean2d = np.asarray(proj.mean2d)
+    conic = np.asarray(proj.conic)
+    op = np.asarray(opacity)[:, 0]
+    col = np.asarray(color)
+    valid_np = np.asarray(proj.valid)
+    tile_x = (xs // settings.tile_w).astype(np.int32)
+    tile_y = (ys // settings.tile_h).astype(np.int32)
+    radius = np.asarray(proj.radius)
+    for g in order:
+        if not valid_np[g]:
+            continue
+        dx = xs - mean2d[g, 0]
+        dy = ys - mean2d[g, 1]
+        q = conic[g, 0] * dx ** 2 + 2 * conic[g, 1] * dx * dy \
+            + conic[g, 2] * dy ** 2
+        alpha = np.minimum(op[g] * np.exp(-0.5 * q), ALPHA_MAX)
+        alpha[alpha < ALPHA_MIN] = 0.0
+        # same tile-granular 3-sigma culling as the tiled path: a gaussian
+        # only touches pixels of tiles overlapped by its radius bbox
+        r = radius[g]
+        tx0 = np.clip(np.floor((mean2d[g, 0] - r) / settings.tile_w), 0,
+                      settings.n_tiles_x - 1)
+        tx1 = np.clip(np.floor((mean2d[g, 0] + r) / settings.tile_w), 0,
+                      settings.n_tiles_x - 1)
+        ty0 = np.clip(np.floor((mean2d[g, 1] - r) / settings.tile_h), 0,
+                      settings.n_tiles_y - 1)
+        ty1 = np.clip(np.floor((mean2d[g, 1] + r) / settings.tile_h), 0,
+                      settings.n_tiles_y - 1)
+        in_tiles = ((tile_x >= tx0) & (tile_x <= tx1)
+                    & (tile_y >= ty0) & (tile_y <= ty1))
+        alpha = np.where(in_tiles, alpha, 0.0)
+        contrib = (t >= T_EPS) * alpha
+        img += (contrib * t)[..., None] * col[g]
+        t = t * np.where(t >= T_EPS, 1.0 - alpha, 1.0)
+    img += t[..., None] * settings.bg
+    return img
