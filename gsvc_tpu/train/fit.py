@@ -1,0 +1,289 @@
+"""GOP fitting orchestration: the host loop around the fused train step.
+
+Replaces pipeline/train.py:267-605 (training loop) with a TPU execution
+model: the device runs one compiled step per iteration; the host only
+samples frame pairs, feeds learning rates, and every ``update_interval``
+iterations pulls the state back for densification + z-resort + repad.
+
+Capacity management: anchor buffers are padded; when densification
+approaches the pad, capacity grows by 1.5x and the step recompiles once
+(padded capacity + re-jit epochs, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsvc_tpu.config import Config
+from gsvc_tpu.framecube import FrameCubeDataset, init_point_cloud
+from gsvc_tpu.models.gaussians import (
+    AnchorState, GaussianConfig, GenerateMode, ModelState, init_model,
+    update_anchor_bound,
+)
+from gsvc_tpu.render.pipeline import make_raster_settings, render_frame_averaged
+from gsvc_tpu.train.controller import TrainingController
+from gsvc_tpu.train.densify import adjust_anchors, resort_by_z
+from gsvc_tpu.train.optim import AdamState, adam_init
+from gsvc_tpu.train.schedules import build_schedules
+from gsvc_tpu.train.trainer import TrainStats, init_stats, make_train_step
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def compute_window_cap(z_sorted: np.ndarray, n_active: int,
+                       frame_zs: np.ndarray, threshold: float,
+                       headroom: float = 1.5, quantum: int = 512) -> int:
+    """Smallest padded capacity covering the largest TSW band."""
+    z = z_sorted[:n_active]
+    max_band = 1
+    for fz in frame_zs:
+        lo = np.searchsorted(z, fz - threshold)
+        hi = np.searchsorted(z, fz + threshold, side="right")
+        max_band = max(max_band, hi - lo)
+    cap = _round_up(int(max_band * headroom) + 8, quantum)
+    return min(cap, _round_up(max(n_active, 1), quantum))
+
+
+@dataclass
+class FitReport:
+    iterations: int = 0
+    psnr: float = 0.0
+    loss: float = 0.0
+    bit_per_param: float = 0.0
+    n_active: int = 0
+    history: list = field(default_factory=list)
+
+
+class GOPFitter:
+    """Fits one frame cube (= encodes one GOP)."""
+
+    def __init__(self, cfg: Config, dataset: FrameCubeDataset,
+                 seed: int = 0, log_fn: Optional[Callable] = None):
+        self.cfg = cfg
+        self.dataset = dataset
+        self.gcfg = GaussianConfig.from_model_config(cfg.model)
+        self.log = log_fn or (lambda *a, **k: None)
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.PRNGKey(seed)
+
+        opt = cfg.optimization
+        pts = init_point_cloud(dataset.x_min, dataset.y_min, dataset.z_min,
+                               n=opt.init_anchor_num, rng=self.rng)
+        self.capacity = _round_up(int(opt.init_anchor_num * 1.5), 1024)
+        self.key, k0 = jax.random.split(self.key)
+        self.state = init_model(k0, self.gcfg, pts, self.capacity,
+                                voxel_size=cfg.model.voxel_size)
+        self.voxel_size = self._resolve_voxel_size(pts, cfg.model.voxel_size)
+        self.state = update_anchor_bound(
+            self.state, dataset.x_min, dataset.y_min, dataset.z_min)
+
+        self.frame_zs = np.array([
+            (i - dataset.num_frames / 2) / dataset.scale
+            for i in range(dataset.num_frames)], np.float32)
+
+        self.window_cap = compute_window_cap(
+            np.asarray(self.state.anchors.anchor[:, 2]),
+            int(self.state.n_active), self.frame_zs, self.gcfg.threshold)
+
+        bg = 1.0 if cfg.model.white_background else 0.0
+        self.settings = make_raster_settings(
+            self.gcfg, dataset.height, dataset.width,
+            tile_h=cfg.pipeline.tile_h, tile_w=cfg.pipeline.tile_w,
+            gaussian_cap=cfg.pipeline.visible_capacity or 1024,
+            chunk=cfg.pipeline.gaussian_chunk, bg=bg)
+
+        self.schedules = build_schedules(opt, spatial_lr_scale=1.0,
+                                         ste_binary=cfg.model.ste_binary)
+        params = (self.state.anchors, self.state.nets)
+        self.adam = adam_init(params)
+        self.stats = init_stats(self.capacity, self.gcfg.n_offsets)
+        self.controller = TrainingController(opt)
+        self._build_step()
+
+        # preload frames/flows on device once (HBM resident across steps)
+        self.images = jnp.asarray(self.dataset.images)     # [T, H, W, 3]
+        if self.dataset.flows is not None:
+            self.flows = jnp.asarray(self.dataset.flows)   # [T-1, 2, H, W]
+        else:
+            self.flows = jnp.zeros(
+                (max(dataset.num_frames - 1, 1), 2, dataset.height,
+                 dataset.width), jnp.float32)
+
+    def _resolve_voxel_size(self, pts, voxel_size):
+        if voxel_size > 0:
+            return voxel_size
+        from gsvc_tpu.models.gaussians import mean_nn3_distance
+        return float(np.median(mean_nn3_distance(pts.astype(np.float32))))
+
+    def _build_step(self):
+        d = self.dataset
+        self.train_step = make_train_step(
+            self.gcfg, self.settings, self.window_cap, self.cfg.optimization,
+            width=d.width, height=d.height, scale=d.scale,
+            x_min=d.x_min, y_min=d.y_min)
+
+    def _lr_values(self, it: int) -> Dict[str, float]:
+        return {name: sched(it) for name, sched in self.schedules.items()}
+
+    # -- densification bridge ---------------------------------------------
+    def _densify(self):
+        n = int(self.state.n_active)
+        k = self.gcfg.n_offsets
+        anchors = {f: np.asarray(getattr(self.state.anchors, f))[:n].copy()
+                   for f in AnchorState._fields}
+        m_a, v_a = self.adam.m[0], self.adam.v[0]
+        adam_m = {f: np.asarray(getattr(m_a, f))[:n].copy()
+                  for f in AnchorState._fields}
+        adam_v = {f: np.asarray(getattr(v_a, f))[:n].copy()
+                  for f in AnchorState._fields}
+        stats = {
+            "opacity_accum": np.asarray(self.stats.opacity_accum)[:n].copy(),
+            "anchor_demon": np.asarray(self.stats.anchor_demon)[:n].copy(),
+            "offset_gradient_accum": np.asarray(
+                self.stats.offset_gradient_accum)[:n * k].copy(),
+            "offset_denom": np.asarray(self.stats.offset_denom)[:n * k].copy(),
+        }
+
+        res = adjust_anchors(anchors, adam_m, adam_v, stats, self.cfg.model,
+                             self.cfg.optimization, self.voxel_size, self.rng)
+        resort_by_z(anchors, adam_m, adam_v, stats, k)
+
+        n_new = res.n_active
+        recompiled = False
+        if n_new > self.capacity:
+            self.capacity = _round_up(int(n_new * 1.5), 1024)
+            recompiled = True
+
+        def pad_to(x, cap, fill=0.0):
+            out = np.full((cap,) + x.shape[1:], fill, np.float32)
+            out[:x.shape[0]] = x
+            return jnp.asarray(out)
+
+        cap = self.capacity
+        anchor_pad = np.full((cap, 3), 0.0, np.float32)
+        anchor_pad[:n_new] = anchors["anchor"]
+        anchor_pad[n_new:, 2] = 1e9
+        new_anchors = AnchorState(
+            anchor=jnp.asarray(anchor_pad),
+            feat=pad_to(anchors["feat"], cap),
+            offset=pad_to(anchors["offset"], cap),
+            mask=pad_to(anchors["mask"], cap),
+            scaling=pad_to(anchors["scaling"], cap),
+            rotation=pad_to(anchors["rotation"], cap),
+            opacity=pad_to(anchors["opacity"], cap),
+        )
+        new_m = self.adam.m[0]._replace(**{
+            f: pad_to(adam_m[f], cap) for f in AnchorState._fields})
+        new_v = self.adam.v[0]._replace(**{
+            f: pad_to(adam_v[f], cap) for f in AnchorState._fields})
+
+        self.state = self.state._replace(
+            anchors=new_anchors, n_active=jnp.asarray(n_new, jnp.int32))
+        self.adam = AdamState(m=(new_m, self.adam.m[1]),
+                              v=(new_v, self.adam.v[1]), step=self.adam.step)
+        self.stats = TrainStats(
+            opacity_accum=pad_to(stats["opacity_accum"], cap),
+            anchor_demon=pad_to(stats["anchor_demon"], cap),
+            offset_gradient_accum=pad_to(stats["offset_gradient_accum"],
+                                         cap * k),
+            offset_denom=pad_to(stats["offset_denom"], cap * k),
+        )
+
+        new_window = compute_window_cap(anchor_pad[:, 2], n_new,
+                                        self.frame_zs, self.gcfg.threshold)
+        if new_window > self.window_cap:
+            self.window_cap = new_window
+            recompiled = True
+        if recompiled:
+            self._build_step()
+        return res
+
+    # -- main loop ---------------------------------------------------------
+    def fit(self, iterations: Optional[int] = None,
+            eval_every: int = 0, log_every: int = 100) -> FitReport:
+        opt = self.cfg.optimization
+        total = iterations if iterations is not None else opt.iterations
+        report = FitReport()
+        t0 = time.time()
+        n_frames = self.dataset.num_frames
+
+        self.controller.step()
+        for it in range(1, total + 1):
+            lrs = self._lr_values(it)
+            fidx = int(self.rng.integers(0, max(n_frames - 1, 1)))
+            z1 = self.frame_zs[fidx]
+            z2 = self.frame_zs[min(fidx + 1, n_frames - 1)]
+            gt1 = self.images[fidx]
+            gt2 = self.images[min(fidx + 1, n_frames - 1)]
+            flow = self.flows[min(fidx, self.flows.shape[0] - 1)]
+
+            mode = self.controller.render_mode or GenerateMode.STE_ENTROPY
+            do_stats = self.controller.gaussian_statis
+            self.key, sk = jax.random.split(self.key)
+
+            self.state, self.adam, self.stats, metrics = self.train_step(
+                self.state, self.adam, self.stats, lrs,
+                z1, z2, gt1, gt2, flow, sk, mode=mode, do_stats=do_stats)
+
+            if self.controller.gaussian_adjust_anchor:
+                res = self._densify()
+                self.log(f"iter {it}: densify +{res.n_grown} "
+                         f"-{res.n_pruned} -> {res.n_active}")
+
+            if log_every and it % log_every == 0:
+                m = jax.device_get(metrics)
+                report.history.append(
+                    {"iter": it, "loss": float(m.loss),
+                     "psnr": float(m.psnr),
+                     "bpp": float(m.bit_per_param),
+                     "n_active": int(self.state.n_active)})
+                self.log(f"iter {it}: loss={float(m.loss):.5f} "
+                         f"psnr={float(m.psnr):.2f} "
+                         f"bpp={float(m.bit_per_param):.4f} "
+                         f"anchors={int(self.state.n_active)} "
+                         f"({(time.time()-t0):.1f}s)")
+
+            if eval_every and it % eval_every == 0:
+                ev = self.evaluate(mode=mode)
+                self.log(f"iter {it}: eval psnr={ev['psnr']:.2f}")
+
+            self.controller.step()
+
+        m = jax.device_get(metrics)
+        report.iterations = total
+        report.loss = float(m.loss)
+        report.psnr = float(m.psnr)
+        report.bit_per_param = float(m.bit_per_param)
+        report.n_active = int(self.state.n_active)
+        return report
+
+    # -- evaluation --------------------------------------------------------
+    def evaluate(self, mode: GenerateMode = GenerateMode.FULL_PRECISION,
+                 frames: Optional[list] = None, decoded: bool = False):
+        from gsvc_tpu.metrics.image import psnr as psnr_fn
+
+        # noise-quantized modes are meaningless for deterministic eval:
+        # evaluate ENTROPY checkpoints with STE rounding instead
+        if mode == GenerateMode.QUANTIZED_NOISE:
+            mode = GenerateMode.FULL_PRECISION
+        elif mode == GenerateMode.ENTROPY:
+            mode = GenerateMode.STE_ENTROPY
+
+        d = self.dataset
+        idxs = frames if frames is not None else range(d.num_frames)
+        vals = []
+        for i in idxs:
+            img, _, _ = render_frame_averaged(
+                self.state, self.gcfg, self.frame_zs[i], d.x_min, d.y_min,
+                d.scale, self.settings, self.window_cap, mode=mode,
+                decoded=decoded)
+            vals.append(float(psnr_fn(img, self.images[i])))
+        return {"psnr": float(np.mean(vals)), "per_frame": vals}
