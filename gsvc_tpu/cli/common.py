@@ -1,0 +1,42 @@
+"""Shared CLI plumbing (reference scaffold: train_model.py:20-119)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from gsvc_tpu.config import Config, load_config
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--source_path", type=str, default="",
+                   help="directory of video frames (one GOP)")
+    p.add_argument("--optical_path", type=str, default="",
+                   help="directory of optical-flow pickles [2,H,W]")
+    p.add_argument("--model_path", type=str, required=True,
+                   help="output directory")
+    p.add_argument("--config_path", type=str, default=None,
+                   help="YAML config overlay (cfgs/*.yaml)")
+    p.add_argument("--lmbda", type=float, default=None,
+                   help="rate-distortion trade-off override")
+    p.add_argument("--iterations", type=int, default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--quiet", action="store_true")
+    return p
+
+
+def resolve_config(args) -> Config:
+    cfg = load_config(args.config_path)
+    cfg.pipeline.source_path = args.source_path
+    cfg.pipeline.optical_path = args.optical_path
+    cfg.pipeline.model_path = args.model_path
+    if args.lmbda is not None:
+        cfg.optimization.lmbda = args.lmbda
+    if args.iterations is not None:
+        cfg.optimization.iterations = args.iterations
+    return cfg
+
+
+def model_config_dict(cfg: Config) -> dict:
+    return dataclasses.asdict(cfg.model)

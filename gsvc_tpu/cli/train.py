@@ -1,0 +1,117 @@
+"""Encode a video by fitting (the reference's train_model.py entry).
+
+Fits a GOP, then performs the encode + decode round trip and evaluates
+the decoded model — "training" IS encoding in this codec
+(reference call stack: SURVEY.md §3.1).
+
+    python -m gsvc_tpu.cli.train --source_path frames/ \
+        --optical_path flow/ --model_path out/ \
+        --config_path cfgs/uvg.yaml --lmbda 0.004
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+
+from gsvc_tpu.cli.common import base_parser, model_config_dict, resolve_config
+
+
+def main(argv=None):
+    parser = base_parser(__doc__)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="resume from a training checkpoint")
+    parser.add_argument("--checkpoint_iterations", type=int, nargs="*",
+                        default=[], help="iterations to checkpoint at")
+    parser.add_argument("--eval_every", type=int, default=0)
+    parser.add_argument("--skip_codec", action="store_true",
+                        help="fit only; skip encode/decode round trip")
+    args = parser.parse_args(argv)
+
+    cfg = resolve_config(args)
+
+    from gsvc_tpu.codec.bitstream import conduct_decoding, conduct_encoding
+    from gsvc_tpu.codec.estimate import estimate_final_bits
+    from gsvc_tpu.framecube import FrameCubeDataset
+    from gsvc_tpu.models.gaussians import GenerateMode
+    from gsvc_tpu.report import bits_per_pixel, evaluate_video
+    from gsvc_tpu.train.fit import GOPFitter
+    from gsvc_tpu.utils.checkpoint import (load_checkpoint, save_checkpoint,
+                                           save_streams)
+    from gsvc_tpu.utils.logging import MetricsWriter, dump_config, setup_logging
+
+    log = setup_logging(cfg.pipeline.model_path)
+    dump_config(cfg, cfg.pipeline.model_path)
+    metrics = MetricsWriter(cfg.pipeline.model_path)
+
+    dataset = FrameCubeDataset(cfg.pipeline.source_path,
+                               cfg.pipeline.optical_path or None,
+                               prefetch=not cfg.pipeline.skip_prefetch)
+    log.info("dataset: %dx%d, %d frames", dataset.width, dataset.height,
+             dataset.num_frames)
+
+    fitter = GOPFitter(cfg, dataset, seed=args.seed, log_fn=log.info)
+    start_iter = 0
+    if args.checkpoint:
+        start_iter = load_checkpoint(args.checkpoint, fitter)
+        log.info("resumed from %s at iteration %d", args.checkpoint,
+                 start_iter)
+
+    def log_fn(msg):
+        log.info(msg)
+
+    fitter.log = log_fn
+    report = fitter.fit(eval_every=args.eval_every)
+    for rec in report.history:
+        metrics.write(rec.pop("iter"), **rec)
+
+    ckpt = pathlib.Path(cfg.pipeline.model_path) / "chkpnt_final.pkl"
+    save_checkpoint(str(ckpt), fitter, report.iterations)
+    log.info("checkpoint saved: %s", ckpt)
+
+    results = {"fit_psnr": report.psnr, "iterations": report.iterations,
+               "n_anchors": report.n_active}
+
+    if not args.skip_codec:
+        est = estimate_final_bits(fitter.state, fitter.gcfg)
+        log.info("estimated bits: total=%.3f MB", est.total / 8 / 2 ** 20)
+
+        streams, meta, bit_info, enc_state, enc_time = conduct_encoding(
+            fitter.state, fitter.gcfg,
+            model_config=model_config_dict(cfg),
+            video_info={"width": dataset.width, "height": dataset.height,
+                        "num_frames": dataset.num_frames})
+        bs_dir = pathlib.Path(cfg.pipeline.model_path) / "bitstreams"
+        total_bytes = save_streams(str(bs_dir), streams)
+        bpp = bits_per_pixel(total_bytes * 8, dataset.width, dataset.height,
+                             dataset.num_frames)
+        log.info("encoded %.3f MB (%.5f bpp) in %.1fs",
+                 total_bytes / 2 ** 20, bpp, enc_time)
+
+        dec_state, _, dec_time = conduct_decoding(
+            streams, fitter.gcfg, enc_state, capacity=fitter.capacity)
+        log.info("decoded in %.1fs", dec_time)
+
+        ev = evaluate_video(
+            dec_state, fitter.gcfg, fitter.settings, fitter.window_cap,
+            fitter.frame_zs, dataset.x_min, dataset.y_min, dataset.scale,
+            gt_images=dataset.images, mode=GenerateMode.DECODED,
+            decoded=True)
+        log.info("decoded eval: psnr=%.2f ssim=%.4f fps=%.1f",
+                 ev.get("psnr", 0), ev.get("ssim", 0), ev["fps"])
+        results.update(bpp=bpp, encode_seconds=enc_time,
+                       decode_seconds=dec_time,
+                       decoded_psnr=ev.get("psnr"),
+                       decoded_ssim=ev.get("ssim"),
+                       decoded_ms_ssim=ev.get("ms_ssim"),
+                       decode_fps=ev["fps"],
+                       size_mb=total_bytes / 2 ** 20)
+
+    out = pathlib.Path(cfg.pipeline.model_path) / "results.json"
+    out.write_text(json.dumps(results, indent=2))
+    log.info("results: %s", json.dumps(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -24,11 +24,12 @@ def psnr(img1, img2, data_range: float = 1.0):
 
 @functools.lru_cache(maxsize=4)
 def _gaussian_window(window_size: int, sigma: float):
+    # NumPy on purpose: caching a jnp constant would leak tracers between
+    # jit traces (converted at the use site instead)
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
     g = g / g.sum()
-    w2d = np.outer(g, g).astype(np.float32)
-    return jnp.asarray(w2d)
+    return np.outer(g, g).astype(np.float32)
 
 
 def _ensure_nhwc(img):
@@ -40,7 +41,8 @@ def _ensure_nhwc(img):
 def _depthwise_blur(img, window):
     """Depthwise 2D conv, SAME padding, per channel."""
     c = img.shape[-1]
-    kernel = jnp.tile(window[:, :, None, None], (1, 1, 1, c))  # [kh, kw, 1, C]
+    kernel = jnp.tile(jnp.asarray(window)[:, :, None, None],
+                      (1, 1, 1, c))  # [kh, kw, 1, C]
     return jax.lax.conv_general_dilated(
         img, kernel,
         window_strides=(1, 1), padding="SAME",

@@ -364,14 +364,16 @@ def slice_window(arr, start, cap: int):
 
 def window_for_frame(state: ModelState, cfg: GaussianConfig, frame_z,
                      cap: int):
-    """Compute (start, in_window mask [cap]) for a frame plane."""
+    """Compute (start, in_window mask [cap]) for a frame plane.
+
+    Inactive/padding rows carry the z = 1e9 sentinel, so the z test alone
+    excludes them — no dependence on ``n_active`` here, which keeps this
+    correct when the anchor buffers are z-slab-sharded across devices."""
     z = state.anchors.anchor[:, 2]
     start = jnp.searchsorted(z, frame_z - cfg.threshold).astype(jnp.int32)
     start = jnp.clip(start, 0, max(z.shape[0] - cap, 0))
     zw = slice_window(z, start, cap)
-    idx = start + jnp.arange(cap, dtype=jnp.int32)
-    in_window = (jnp.abs(zw - frame_z) <= cfg.threshold) \
-        & (idx < state.n_active)
+    in_window = jnp.abs(zw - frame_z) <= cfg.threshold
     return start, in_window
 
 

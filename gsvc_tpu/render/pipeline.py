@@ -25,6 +25,7 @@ class RenderResults(NamedTuple):
     """Per-render record (reference: common/base.py:9-27)."""
 
     image: jnp.ndarray              # [H, W, 3]
+    transmittance: jnp.ndarray     # [H, W]
     window_start: jnp.ndarray      # int32 — anchor index of window row 0
     in_window: jnp.ndarray         # [V] anchor-level visibility
     radii: jnp.ndarray             # [V*K]
@@ -77,6 +78,7 @@ def render_frame(
 
     return RenderResults(
         image=out.image,
+        transmittance=out.transmittance,
         window_start=start,
         in_window=in_window,
         radii=out.radii,

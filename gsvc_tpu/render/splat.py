@@ -309,11 +309,13 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
     (t_final, acc), _ = jax.lax.scan(step, (t0, acc0), (ids_chunks, pos_chunks))
 
     tile_img = acc + t_final[:, None] * settings.bg
-    return tile_img.reshape(th, tw, 3)
+    return tile_img.reshape(th, tw, 3), t_final.reshape(th, tw)
 
 
 class RasterOutput(NamedTuple):
-    image: jnp.ndarray        # [H, W, 3]
+    image: jnp.ndarray        # [H, W, 3] (premultiplied + T*bg)
+    transmittance: jnp.ndarray  # [H, W] final per-pixel transmittance —
+                              # enables z-slab cross-device compositing
     radii: jnp.ndarray        # [M] pixel radii (0 = culled)
     num_rendered: jnp.ndarray # scalar: total tile-gaussian pairs composited
     overflow: jnp.ndarray     # scalar: pairs dropped by per-tile capacity
@@ -343,7 +345,7 @@ def rasterize(xyz, color, opacity, scaling, rot, valid,
     ty_grid = jnp.repeat(tiles_y, settings.n_tiles_x)
     tx_grid = jnp.tile(tiles_x, settings.n_tiles_y)
 
-    tile_imgs = jax.vmap(
+    tile_imgs, tile_ts = jax.vmap(
         lambda ids, cnt, ty, tx: _composite_tile(
             ids, cnt, ty, tx, proj.mean2d, proj.conic, opacity, color,
             settings)
@@ -356,8 +358,14 @@ def rasterize(xyz, color, opacity, scaling, rot, valid,
         settings.n_tiles_y * settings.tile_h,
         settings.n_tiles_x * settings.tile_w, 3)
     img = img[:settings.image_height, :settings.image_width]
+    t_map = tile_ts.reshape(settings.n_tiles_y, settings.n_tiles_x,
+                            settings.tile_h, settings.tile_w)
+    t_map = t_map.transpose(0, 2, 1, 3).reshape(
+        settings.n_tiles_y * settings.tile_h,
+        settings.n_tiles_x * settings.tile_w)
+    t_map = t_map[:settings.image_height, :settings.image_width]
 
-    return RasterOutput(image=img, radii=proj.radius,
+    return RasterOutput(image=img, transmittance=t_map, radii=proj.radius,
                         num_rendered=n_rendered, overflow=overflow)
 
 

@@ -1,0 +1,101 @@
+"""Full-video evaluation and frame export.
+
+Parity with utils/report_utils.py:267-451 (``evaluate`` — per-frame
+PSNR/SSIM/MS-SSIM + decode FPS, decoded-frame PNG dump) without the
+TensorBoard coupling: results come back as plain dicts, logging is the
+caller's concern (see gsvc_tpu/utils/logging.py).
+"""
+
+from __future__ import annotations
+
+import pathlib
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsvc_tpu.metrics.image import ms_ssim, psnr, ssim
+from gsvc_tpu.models.gaussians import GaussianConfig, GenerateMode, ModelState
+from gsvc_tpu.render.pipeline import render_frame
+from gsvc_tpu.render.splat import RasterSettings
+
+
+def _make_eval_render(cfg: GaussianConfig, settings: RasterSettings,
+                      window_cap: int, x_min: float, y_min: float,
+                      scale: float, mode: GenerateMode, decoded: bool):
+    """One jitted fwd+bwd averaged frame render."""
+
+    @jax.jit
+    def render(state: ModelState, frame_z):
+        rf = render_frame(state, cfg, frame_z, x_min, y_min, scale,
+                          settings, window_cap, mode, None, flip=False,
+                          decoded=decoded)
+        rb = render_frame(state, cfg, frame_z, x_min, y_min, scale,
+                          settings, window_cap, mode, None, flip=True,
+                          decoded=decoded)
+        return (rf.image + rb.image[:, ::-1, :]) / 2.0
+
+    return render
+
+
+def evaluate_video(state: ModelState, cfg: GaussianConfig,
+                   settings: RasterSettings, window_cap: int,
+                   frame_zs: np.ndarray, x_min: float, y_min: float,
+                   scale: float, gt_images: Optional[np.ndarray] = None,
+                   mode: GenerateMode = GenerateMode.FULL_PRECISION,
+                   decoded: bool = False,
+                   dump_dir: Optional[str] = None,
+                   compute_msssim: bool = True) -> dict:
+    """Render every frame; measure decode FPS and (if GT given) metrics."""
+    render = _make_eval_render(cfg, settings, window_cap, x_min, y_min,
+                               scale, mode, decoded)
+
+    # compile outside the timed loop
+    img = render(state, jnp.asarray(float(frame_zs[0])))
+    jax.block_until_ready(img)
+
+    psnrs, ssims, msssims = [], [], []
+    t0 = time.perf_counter()
+    images = []
+    for fz in frame_zs:
+        img = render(state, jnp.asarray(float(fz)))
+        images.append(img)
+    jax.block_until_ready(images[-1])
+    render_time = time.perf_counter() - t0
+    fps = len(frame_zs) / render_time
+
+    can_msssim = compute_msssim and images[0].shape[0] >= 176 \
+        and images[0].shape[1] >= 176
+    if gt_images is not None:
+        for i, img in enumerate(images):
+            gt = jnp.asarray(gt_images[i])
+            psnrs.append(float(psnr(img, gt)))
+            ssims.append(float(ssim(img, gt)))
+            if can_msssim:
+                msssims.append(float(ms_ssim(img, gt)))
+
+    if dump_dir is not None:
+        from PIL import Image
+
+        out = pathlib.Path(dump_dir)
+        out.mkdir(parents=True, exist_ok=True)
+        for i, img in enumerate(images):
+            arr = np.clip(np.asarray(img) * 255, 0, 255).astype(np.uint8)
+            Image.fromarray(arr).save(out / f"frame_{i:05d}.png")
+
+    result = {"fps": fps, "num_frames": len(frame_zs),
+              "render_seconds": render_time}
+    if psnrs:
+        result.update(psnr=float(np.mean(psnrs)),
+                      ssim=float(np.mean(ssims)),
+                      per_frame_psnr=psnrs)
+        if msssims:
+            result["ms_ssim"] = float(np.mean(msssims))
+    return result
+
+
+def bits_per_pixel(total_bits: float, width: int, height: int,
+                   num_frames: int) -> float:
+    return total_bits / (width * height * num_frames)

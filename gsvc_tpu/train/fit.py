@@ -225,7 +225,9 @@ class GOPFitter:
             gt2 = self.images[min(fidx + 1, n_frames - 1)]
             flow = self.flows[min(fidx, self.flows.shape[0] - 1)]
 
-            mode = self.controller.render_mode or GenerateMode.STE_ENTROPY
+            mode = self.controller.render_mode
+            if mode is None:  # (enum value 0 is falsy — no `or` here)
+                mode = GenerateMode.STE_ENTROPY
             do_stats = self.controller.gaussian_statis
             self.key, sk = jax.random.split(self.key)
 

@@ -112,11 +112,14 @@ def optical_flow_loss(r1: RenderResults, r2: RenderResults, flow,
     return _masked_mean(jnp.mean(err, axis=-1), mask)
 
 
-def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
-                    window_cap: int, opt: OptimizationConfig,
-                    width: int, height: int, scale: float,
-                    x_min: float, y_min: float):
-    """Builds the jitted train step closed over all static config."""
+def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
+                   window_cap: int, opt: OptimizationConfig,
+                   width: int, height: int, scale: float,
+                   x_min: float, y_min: float):
+    """Builds the frame-pair loss (4 renders + all loss terms).
+
+    Shared between the single-chip train step and the shard_map
+    data-parallel step (gsvc_tpu/parallel)."""
 
     k = cfg.n_offsets
     use_optical = opt.optical_lambda != 0.0
@@ -186,26 +189,43 @@ def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
 
         aux = {
             "renders": renders,
-            "metrics": StepMetrics(
-                loss=loss, l1=l1, psnr=ps, scaling_reg=scaling_reg,
-                optical_loss=optical,
-                bit_per_param=bpp / 4.0,
-                bit_per_feat_param=sum(
-                    r.rate.bit_per_feat_param for r in renders) / 4.0,
-                bit_per_scaling_param=sum(
-                    r.rate.bit_per_scaling_param for r in renders) / 4.0,
-                bit_per_offsets_param=sum(
-                    r.rate.bit_per_offsets_param for r in renders) / 4.0,
-                num_rendered=sum(r.num_rendered for r in renders),
-                overflow=sum(r.overflow for r in renders),
-                active_gaussians=sum(
-                    jnp.sum(r.visibility_filter) for r in renders),
-                mask_ratio=sum(jnp.mean(
-                    r.selection_mask.astype(jnp.float32)) for r in renders)
-                / 4.0,
-            ),
+            "metrics": _metrics(loss, l1, ps, scaling_reg, optical, bpp,
+                                renders),
         }
         return loss, aux
+
+    def _metrics(loss, l1, ps, scaling_reg, optical, bpp, renders):
+        return StepMetrics(
+            loss=loss, l1=l1, psnr=ps, scaling_reg=scaling_reg,
+            optical_loss=optical,
+            bit_per_param=bpp / 4.0,
+            bit_per_feat_param=sum(
+                r.rate.bit_per_feat_param for r in renders) / 4.0,
+            bit_per_scaling_param=sum(
+                r.rate.bit_per_scaling_param for r in renders) / 4.0,
+            bit_per_offsets_param=sum(
+                r.rate.bit_per_offsets_param for r in renders) / 4.0,
+            num_rendered=sum(r.num_rendered for r in renders),
+            overflow=sum(r.overflow for r in renders),
+            active_gaussians=sum(
+                jnp.sum(r.visibility_filter) for r in renders),
+            mask_ratio=sum(jnp.mean(
+                r.selection_mask.astype(jnp.float32)) for r in renders)
+            / 4.0,
+        )
+
+    return _loss
+
+
+def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
+                    window_cap: int, opt: OptimizationConfig,
+                    width: int, height: int, scale: float,
+                    x_min: float, y_min: float):
+    """Builds the jitted single-chip train step closed over static config."""
+
+    k = cfg.n_offsets
+    _loss = make_pair_loss(cfg, settings, window_cap, opt, width, height,
+                           scale, x_min, y_min)
 
     def _accumulate_stats(stats: TrainStats, renders, m2d_grads, scale):
         """training_statis for 4 renders (gaussian_model.py:1281-1314),

@@ -7,7 +7,9 @@ exercise real collectives (see SURVEY.md §4 test-strategy notes).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force local CPU: the ambient environment pins JAX_PLATFORMS to the
+# remote TPU tunnel, which must never serve unit tests.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
