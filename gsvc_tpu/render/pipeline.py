@@ -59,12 +59,16 @@ def render_frame(
     flip: bool = False,
     decoded: bool = False,
     means2d: Optional[jnp.ndarray] = None,
+    use_pallas: bool = False,
 ) -> RenderResults:
     """Render one frame plane in one view direction.
 
     ``flip=False`` is the forward view; ``flip=True`` the reversed "_s"
     view whose image the caller x-flips before averaging
     (reference: pipeline/train.py:358-375).
+
+    ``use_pallas`` selects the forward-only Pallas tile kernel (per-tile
+    early exit) — inference/decode paths only; not differentiable.
     """
     start, in_window = window_for_frame(state, cfg, frame_z, window_cap)
     gss = generate_neural_gaussians(
@@ -72,9 +76,17 @@ def render_frame(
         window_start=start, in_window=in_window, cap=window_cap,
         mode=mode, key=key, decoded=decoded)
 
-    out = rasterize(
-        gss.xyz, gss.color, gss.opacity, gss.scaling, gss.rot, gss.valid,
-        frame_z, x_min, y_min, scale, settings, flip=flip, means2d=means2d)
+    if use_pallas:
+        from gsvc_tpu.render.pallas_splat import rasterize_pallas
+
+        out = rasterize_pallas(
+            gss.xyz, gss.color, gss.opacity, gss.scaling, gss.rot,
+            gss.valid, frame_z, x_min, y_min, scale, settings, flip=flip)
+    else:
+        out = rasterize(
+            gss.xyz, gss.color, gss.opacity, gss.scaling, gss.rot,
+            gss.valid, frame_z, x_min, y_min, scale, settings, flip=flip,
+            means2d=means2d)
 
     return RenderResults(
         image=out.image,

@@ -306,7 +306,12 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
 
     t0 = jnp.ones((p,), jnp.float32)
     acc0 = jnp.zeros((p, 3), jnp.float32)
-    (t_final, acc), _ = jax.lax.scan(step, (t0, acc0), (ids_chunks, pos_chunks))
+    # checkpoint per scan step: backward keeps only the [P]-sized carries
+    # per chunk and recomputes the [chunk, P] alpha math — without this the
+    # scan transpose materializes per-chunk-per-tile intermediates
+    # (n_tiles * n_chunks * P floats each, tens of GB at 1080p)
+    (t_final, acc), _ = jax.lax.scan(jax.checkpoint(step), (t0, acc0),
+                                     (ids_chunks, pos_chunks))
 
     tile_img = acc + t_final[:, None] * settings.bg
     return tile_img.reshape(th, tw, 3), t_final.reshape(th, tw)

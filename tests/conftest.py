@@ -17,6 +17,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize hard-registers the remote-TPU backend and
+# overrides JAX_PLATFORMS; the jax.config knob still wins.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 # XLA:CPU dots default to low-precision accumulation; tests compare against
 # float32 oracles, so force full precision (TPU runs set per-op precision).

@@ -1,0 +1,114 @@
+"""CLI end-to-end smoke: train -> bitstreams -> standalone decode.
+
+Exercises the full user workflow on a tiny synthetic GOP written to disk
+(PNG frames + flow pickles), covering the reference's three entry points
+(train_model.py / decode.py / stream_decode.py -> our train/decode/stream).
+"""
+
+import json
+import pathlib
+import pickle
+
+import numpy as np
+import pytest
+import yaml
+
+from gsvc_tpu.codec import native_available
+from tests.test_train import synthetic_video
+
+pytestmark = pytest.mark.skipif(not native_available(),
+                                reason="native codec unavailable")
+
+
+@pytest.fixture(scope="module")
+def video_dir(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("gop")
+    frames_dir = root / "frames"
+    flow_dir = root / "flow"
+    frames_dir.mkdir()
+    flow_dir.mkdir()
+    frames = synthetic_video(t=4, h=16, w=16)
+    for i, fr in enumerate(frames):
+        Image.fromarray((fr * 255).astype(np.uint8)).save(
+            frames_dir / f"f_{i:04d}.png")
+    for i in range(3):
+        with open(flow_dir / f"flow_{i:04d}.pkl", "wb") as f:
+            pickle.dump(np.zeros((2, 16, 16), np.float32), f)
+    return root, frames_dir, flow_dir
+
+
+@pytest.fixture(scope="module")
+def cfg_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "tiny.yaml"
+    p.write_text(yaml.safe_dump({
+        "model": {
+            "anchor_feature_dim": 8, "n_offsets": 4, "threshold": 0.5,
+            "time_multi_res": 4, "offset_multi_res": 4, "log2": 6,
+            "log2_2D": 7, "grid_feature_dim": 2,
+            "resolutions_list": [6, 10], "resolutions_list_2D": [12, 20]},
+        "pipeline": {"tile_h": 8, "tile_w": 16, "visible_capacity": 128,
+                     "gaussian_chunk": 32},
+        "optimization": {
+            "iterations": 6, "init_anchor_num": 64, "optical_lambda": 0.0,
+            "start_stat": 10 ** 9, "update_from": 10 ** 9,
+            "full_precision_training_total": 3,
+            "quantized_training_total": 0,
+            "entropy_constrained_train_total": 3,
+            "ste_entropy_constrained_train_total": 0},
+    }))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def trained(video_dir, cfg_file, tmp_path_factory):
+    from gsvc_tpu.cli.train import main as train_main
+
+    root, frames_dir, flow_dir = video_dir
+    out = tmp_path_factory.mktemp("out")
+    results = train_main([
+        "--source_path", str(frames_dir), "--optical_path", str(flow_dir),
+        "--model_path", str(out), "--config_path", cfg_file])
+    return out, results
+
+
+def test_train_cli_produces_artifacts(trained):
+    out, results = trained
+    assert (out / "chkpnt_final.pkl").exists()
+    assert (out / "bitstreams" / "meta.bin").exists()
+    assert (out / "bitstreams" / "anchor.drc").exists()
+    assert (out / "results.json").exists()
+    assert results["bpp"] > 0
+    assert np.isfinite(results["decoded_psnr"])
+
+
+def test_decode_cli_standalone(trained, video_dir, tmp_path_factory):
+    from gsvc_tpu.cli.decode import main as decode_main
+
+    out, train_results = trained
+    _, frames_dir, _ = video_dir
+    dec_out = tmp_path_factory.mktemp("dec")
+    ev = decode_main([
+        "--bitstream_path", str(out / "bitstreams"),
+        "--model_path", str(dec_out),
+        "--source_path", str(frames_dir), "--dump_frames"])
+    assert ev["fps"] > 0
+    # standalone decode must reproduce the train-time decoded quality
+    assert abs(ev["psnr"] - train_results["decoded_psnr"]) < 0.2
+    dumped = list((dec_out / "frames").glob("*.png"))
+    assert len(dumped) == 4
+
+
+def test_stream_cli(trained, video_dir, cfg_file, tmp_path_factory):
+    from gsvc_tpu.cli.stream import main as stream_main
+
+    out, _ = trained
+    _, frames_dir, flow_dir = video_dir
+    results = stream_main([
+        "--source_path", str(frames_dir), "--optical_path", str(flow_dir),
+        "--model_path", str(out), "--config_path", cfg_file,
+        "--checkpoint", str(out / "chkpnt_final.pkl")])
+    assert results["z_slices"] >= 1
+    assert results["bpp"] > 0
+    assert np.isfinite(results["psnr"])

@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gsvc_tpu.models.gaussians import GenerateMode
 from gsvc_tpu.parallel.spmd import (
