@@ -64,8 +64,8 @@ def main():
     stats = init_stats(capacity, cfg.n_offsets)
     lrs = {k: fn(1000) for k, fn in build_schedules(opt).items()}
 
-    gt1 = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
-    gt2 = jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32)
+    gt1 = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
+    gt2 = jnp.asarray(rng.uniform(0, 1, (3, H, W)), jnp.float32)
     flow = jnp.zeros((2, H, W), jnp.float32)
     key = jax.random.PRNGKey(1)
 
@@ -74,16 +74,17 @@ def main():
                     flow, key, mode=GenerateMode.FULL_PRECISION,
                     do_stats=False)
 
-    # warmup/compile
+    # warmup/compile; NOTE: on the axon tunnel block_until_ready is not
+    # reliable — force a host transfer to synchronize
     state, adam, stats, m = run_once(state, adam, stats, jnp.asarray(0.0))
-    jax.block_until_ready(m.loss)
+    float(np.asarray(m.loss))
 
     iters = 10
     t0 = time.perf_counter()
     for i in range(iters):
         state, adam, stats, m = run_once(state, adam, stats,
                                          jnp.asarray(0.001 * i))
-    jax.block_until_ready(m.loss)
+    float(np.asarray(m.loss))  # true sync: reads through the full chain
     dt = time.perf_counter() - t0
 
     it_per_sec = iters / dt

@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--eval_every", type=int, default=0)
     parser.add_argument("--skip_codec", action="store_true",
                         help="fit only; skip encode/decode round trip")
+    parser.add_argument("--profile", type=str, default=None,
+                        help="capture a jax.profiler trace into this dir "
+                             "for the first ~50 iterations")
     args = parser.parse_args(argv)
 
     cfg = resolve_config(args)
@@ -61,7 +64,16 @@ def main(argv=None):
         log.info(msg)
 
     fitter.log = log_fn
-    report = fitter.fit(eval_every=args.eval_every)
+    if args.profile:
+        import jax
+
+        with jax.profiler.trace(args.profile):
+            fitter.fit(iterations=min(50, cfg.optimization.iterations),
+                       log_every=0)
+        log.info("profiler trace written to %s", args.profile)
+    report = fitter.fit(eval_every=args.eval_every, rate_log_every=500)
+    fitter.save_snapshot(str(pathlib.Path(cfg.pipeline.model_path)
+                             / "point_cloud" / "final"))
     for rec in report.history:
         metrics.write(rec.pop("iter"), **rec)
 

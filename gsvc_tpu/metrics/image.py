@@ -1,4 +1,6 @@
-"""Image quality metrics in JAX (channel-last [H, W, C] or [N, H, W, C]).
+"""Image quality metrics in JAX — channel-FIRST layout ([C, H, W] or
+[N, C, H, W]); W rides the TPU lane dimension (a channels-last [H, W, 3]
+layout pads lanes 42x).
 
 PSNR matches utils/metric_utils.py:11-14; SSIM matches the 11x11
 gaussian-window implementation in utils/loss_utils.py:28-72; MS-SSIM is
@@ -23,65 +25,76 @@ def psnr(img1, img2, data_range: float = 1.0):
 
 
 @functools.lru_cache(maxsize=4)
-def _gaussian_window(window_size: int, sigma: float):
+def _gaussian_1d(window_size: int, sigma: float):
     # NumPy on purpose: caching a jnp constant would leak tracers between
     # jit traces (converted at the use site instead)
     x = np.arange(window_size) - window_size // 2
     g = np.exp(-(x ** 2) / (2 * sigma ** 2))
-    g = g / g.sum()
-    return np.outer(g, g).astype(np.float32)
+    return (g / g.sum()).astype(np.float32)
 
 
-def _ensure_nhwc(img):
-    if img.ndim == 3:
-        return img[None], True
-    return img, False
+def _ensure_nchw(img):
+    return img[None] if img.ndim == 3 else img
 
 
-def _depthwise_blur(img, window):
-    """Depthwise 2D conv, SAME padding, per channel."""
-    c = img.shape[-1]
-    kernel = jnp.tile(jnp.asarray(window)[:, :, None, None],
-                      (1, 1, 1, c))  # [kh, kw, 1, C]
-    return jax.lax.conv_general_dilated(
-        img, kernel,
-        window_strides=(1, 1), padding="SAME",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        feature_group_count=c,
-    )
+def _blur1d(x, g, axis):
+    """Separable 1D gaussian blur via shift-and-add (SAME, zero pad) —
+    pure [*, W]-shaped VPU ops; an XLA depthwise conv with 3 channels on
+    the lane dim runs orders of magnitude slower on TPU."""
+    k = g.shape[0]
+    half = k // 2
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (half, half)
+    xp = jnp.pad(x, pad)
+    n = x.shape[axis]
+    out = None
+    for i in range(k):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + n)
+        term = float(g[i]) * xp[tuple(sl)]
+        out = term if out is None else out + term
+    return out
 
 
-def _ssim_map(img1, img2, window_size=11, sigma=1.5, c1=0.01 ** 2, c2=0.03 ** 2):
-    w = _gaussian_window(window_size, sigma)
-    mu1 = _depthwise_blur(img1, w)
-    mu2 = _depthwise_blur(img2, w)
+def _depthwise_blur(img, window_size: int, sigma: float):
+    """img: [N, C, H, W] -> gaussian-blurred, SAME zero padding."""
+    g = _gaussian_1d(window_size, sigma)
+    return _blur1d(_blur1d(img, g, axis=3), g, axis=2)
+
+
+def _ssim_map(img1, img2, window_size=11, sigma=1.5, c1=0.01 ** 2,
+              c2=0.03 ** 2):
+    mu1 = _depthwise_blur(img1, window_size, sigma)
+    mu2 = _depthwise_blur(img2, window_size, sigma)
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _depthwise_blur(img1 * img1, w) - mu1_sq
-    s2 = _depthwise_blur(img2 * img2, w) - mu2_sq
-    s12 = _depthwise_blur(img1 * img2, w) - mu1_mu2
+    s1 = _depthwise_blur(img1 * img1, window_size, sigma) - mu1_sq
+    s2 = _depthwise_blur(img2 * img2, window_size, sigma) - mu2_sq
+    s12 = _depthwise_blur(img1 * img2, window_size, sigma) - mu1_mu2
     luminance = (2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1)
     contrast = (2 * s12 + c2) / (s1 + s2 + c2)
     return luminance * contrast, contrast
 
 
 def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
-    img1, _ = _ensure_nhwc(img1)
-    img2, _ = _ensure_nhwc(img2)
+    img1 = _ensure_nchw(img1)
+    img2 = _ensure_nchw(img2)
     ssim_map, _ = _ssim_map(img1, img2, window_size, sigma)
     return jnp.mean(ssim_map)
 
 
 def _avg_pool2(img):
-    return jax.lax.reduce_window(
-        img, 0.0, jax.lax.add,
-        window_dimensions=(1, 2, 2, 1), window_strides=(1, 2, 2, 1),
-        padding="VALID") / 4.0
+    """2x2 average pool on [N, C, H, W]."""
+    h2 = img.shape[2] // 2
+    w2 = img.shape[3] // 2
+    x = img[:, :, :h2 * 2, :w2 * 2]
+    x = x.reshape(img.shape[0], img.shape[1], h2, 2, w2, 2)
+    return jnp.mean(x, axis=(3, 5))
 
 
 def ms_ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     """5-scale MS-SSIM; inputs should be at least 160px in each dimension."""
-    img1, _ = _ensure_nhwc(img1)
-    img2, _ = _ensure_nhwc(img2)
+    img1 = _ensure_nchw(img1)
+    img2 = _ensure_nchw(img2)
     levels = len(_MS_WEIGHTS)
     mcs = []
     for i in range(levels):

@@ -75,6 +75,52 @@ def bernoulli_bits(x, p):
     return -jnp.log2(p) * pos + -jnp.log2(1 - p) * neg
 
 
+def factorized_entropy_init(key, channels: int, init_scale: float = 10.0,
+                            filters=(3, 3, 3)):
+    """Ballé-style fully-factorized entropy model parameters
+    (Entropy_factorized, utils/entropy_models.py:85-156; kept for API
+    parity — the reference's main path uses the Gaussian conditional
+    model).  Returns a dict pytree of per-channel monotone-MLP params."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    fs = (1,) + tuple(filters) + (1,)
+    scale = init_scale ** (1.0 / (len(filters) + 1))
+    params = {"matrices": [], "biases": [], "factors": []}
+    for i in range(len(filters) + 1):
+        init = np.log(np.expm1(1.0 / scale / fs[i + 1]))
+        params["matrices"].append(jnp.full(
+            (channels, fs[i + 1], fs[i]), init, jnp.float32))
+        params["biases"].append(jnp.asarray(
+            rng.uniform(-0.5, 0.5, (channels, fs[i + 1], 1)), jnp.float32))
+        if i < len(filters):
+            params["factors"].append(jnp.zeros(
+                (channels, fs[i + 1], 1), jnp.float32))
+    return params
+
+
+def factorized_bits(params, x, q=1.0):
+    """bits for x [N, C] under the factorized model (quantization bin q)."""
+    q = jnp.asarray(q, jnp.float32)
+
+    def logits_cumulative(v):  # v: [C, 1, N]
+        for i, m in enumerate(params["matrices"]):
+            v = jax.nn.softplus(m) @ v + params["biases"][i]
+            if i < len(params["factors"]):
+                v = v + jnp.tanh(params["factors"][i]) * jnp.tanh(v)
+        return v
+
+    xt = x.T[:, None, :]                      # [C, 1, N]
+    lower = logits_cumulative(xt - 0.5 * (1.0 / q))
+    upper = logits_cumulative(xt + 0.5 * (1.0 / q))
+    sign = jax.lax.stop_gradient(-jnp.sign(lower + upper))
+    likelihood = jnp.abs(jax.nn.sigmoid(sign * upper)
+                         - jax.nn.sigmoid(sign * lower))
+    likelihood = _low_bound(likelihood)
+    bits = -jnp.log(likelihood) * _LOG2E
+    return bits[:, 0, :].T                    # [N, C]
+
+
 def binary_vxl_size(binary, dtype=jnp.float32):
     """Closed-form bits for a {0,1} tensor from its empirical 1-rate,
     +32 bits for transmitting the probability

@@ -77,13 +77,13 @@ def combine_slab_renders(partial_img, partial_t, flip: bool, bg: float,
                          axis_name: str = "sp"):
     """Composite per-slab partial renders across the ``sp`` axis.
 
-    partial_img: local [H, W, 3] premultiplied color (rendered with bg=0);
+    partial_img: local [3, H, W] premultiplied color (rendered with bg=0);
     partial_t:   local [H, W] transmittance.
     Slabs are z-ascending by shard index; the forward view looks toward
     -z so the *last* slab is nearest (front).  ``over`` composition:
     out = sum_d C_d * prod_{d' in front of d} T_{d'}.
     """
-    imgs = jax.lax.all_gather(partial_img, axis_name)     # [D, H, W, 3]
+    imgs = jax.lax.all_gather(partial_img, axis_name)     # [D, 3, H, W]
     ts = jax.lax.all_gather(partial_t, axis_name)          # [D, H, W]
     if not flip:
         imgs = imgs[::-1]
@@ -91,9 +91,9 @@ def combine_slab_renders(partial_img, partial_t, flip: bool, bg: float,
     log_t = jnp.log(jnp.maximum(ts, 1e-30))
     excl = jnp.cumsum(log_t, axis=0) - log_t               # prod of nearer
     weights = jnp.exp(excl)
-    out = jnp.sum(imgs * weights[..., None], axis=0)
+    out = jnp.sum(imgs * weights[:, None], axis=0)         # [3, H, W]
     t_all = jnp.exp(jnp.sum(log_t, axis=0))
-    return out + t_all[..., None] * bg, t_all
+    return out + t_all[None] * bg, t_all
 
 
 def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
@@ -126,8 +126,8 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
         im2b, r2b = _render_combined(st, z2, ks[3], mode, True)
         renders = (r1f, r1b, r2f, r2b)
 
-        image1 = (im1f + im1b[:, ::-1, :]) / 2.0
-        image2 = (im2f + im2b[:, ::-1, :]) / 2.0
+        image1 = (im1f + im1b[:, :, ::-1]) / 2.0
+        image2 = (im2f + im2b[:, :, ::-1]) / 2.0
         l1 = jnp.mean(jnp.abs(image1 - gt1)) + jnp.mean(jnp.abs(image2 - gt2))
         dssim = (1.0 - ssim(image1, gt1)) + (1.0 - ssim(image2, gt2))
 
@@ -201,7 +201,7 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
             in_specs=(P("sp"), P(), P(), P(), P(),
                       P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
             out_specs=((P("sp"), P()), P(), P()),
-            check_rep=False,
+            check_vma=False,
         )
         grads, loss, aux = f(
             state.anchors, state.nets, state.n_active,

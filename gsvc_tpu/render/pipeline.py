@@ -24,7 +24,7 @@ from gsvc_tpu.render.splat import RasterSettings, rasterize
 class RenderResults(NamedTuple):
     """Per-render record (reference: common/base.py:9-27)."""
 
-    image: jnp.ndarray              # [H, W, 3]
+    image: jnp.ndarray              # [3, H, W] channel-first
     transmittance: jnp.ndarray     # [H, W]
     window_start: jnp.ndarray      # int32 — anchor index of window row 0
     in_window: jnp.ndarray         # [V] anchor-level visibility
@@ -119,5 +119,5 @@ def render_frame_averaged(state, cfg, frame_z, x_min, y_min, scale, settings,
                       window_cap, mode, key_f, flip=False, decoded=decoded)
     rb = render_frame(state, cfg, frame_z, x_min, y_min, scale, settings,
                       window_cap, mode, key_b, flip=True, decoded=decoded)
-    image = (rf.image + rb.image[:, ::-1, :]) / 2.0
+    image = (rf.image + rb.image[:, :, ::-1]) / 2.0
     return image, rf, rb

@@ -260,10 +260,10 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
     px0 = tile_x * tw
     ys = py0 + jnp.arange(th, dtype=jnp.float32)[:, None]   # [th, 1]
     xs = px0 + jnp.arange(tw, dtype=jnp.float32)[None, :]   # [1, tw]
-    pix = jnp.stack([
-        jnp.broadcast_to(xs, (th, tw)).reshape(-1),
-        jnp.broadcast_to(ys, (th, tw)).reshape(-1),
-    ], axis=-1)                                             # [P, 2]
+    # keep pixel coords as separate [P] vectors: trailing size-2/3 dims
+    # tile to (*, 128) lanes on TPU — a 64x memory/bandwidth blowup
+    pix_x = jnp.broadcast_to(xs, (th, tw)).reshape(-1)      # [P]
+    pix_y = jnp.broadcast_to(ys, (th, tw)).reshape(-1)      # [P]
 
     cap, chunk = settings.gaussian_cap, settings.chunk
     n_chunks = cap // chunk
@@ -272,21 +272,26 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
 
     p = th * tw
 
+    # struct-of-arrays: every per-gaussian quantity stays a flat [C] or
+    # [C, P] array — trailing size-2/3 dims would tile to (*, 128) lanes
+    # on TPU and waste 42x memory/bandwidth
+    mu_x, mu_y = mean2d[:, 0], mean2d[:, 1]
+    con_a, con_b, con_c = conic[:, 0], conic[:, 1], conic[:, 2]
+    col_r, col_g, col_b = color[:, 0], color[:, 1], color[:, 2]
+    op_flat = opacity[:, 0]
+
     def step(carry, inp):
-        t_carry, acc = carry
+        t_carry, acc_r, acc_g, acc_b = carry
         ids, pos = inp
         g_valid = (ids >= 0) & (pos < count)
         safe = jnp.maximum(ids, 0)
-        mu = mean2d[safe]                    # [C, 2]
-        con = conic[safe]                    # [C, 3]
-        op = opacity[safe, 0]                # [C]
-        col = color[safe]                    # [C, 3]
 
-        d = pix[None, :, :] - mu[:, None, :]             # [C, P, 2]
-        q = (con[:, 0:1] * d[..., 0] ** 2
-             + 2.0 * con[:, 1:2] * d[..., 0] * d[..., 1]
-             + con[:, 2:3] * d[..., 1] ** 2)             # [C, P]
-        alpha = op[:, None] * jnp.exp(-0.5 * q)
+        d0 = pix_x[None, :] - mu_x[safe][:, None]        # [C, P]
+        d1 = pix_y[None, :] - mu_y[safe][:, None]        # [C, P]
+        q = (con_a[safe][:, None] * d0 * d0
+             + 2.0 * con_b[safe][:, None] * d0 * d1
+             + con_c[safe][:, None] * d1 * d1)           # [C, P]
+        alpha = op_flat[safe][:, None] * jnp.exp(-0.5 * q)
         alpha = jnp.minimum(alpha, ALPHA_MAX)
         alpha = jnp.where(g_valid[:, None] & (alpha >= ALPHA_MIN), alpha, 0.0)
 
@@ -295,30 +300,30 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
         t_before = t_carry[None, :] * jnp.exp(cum)       # [C, P]
         w = jnp.where(t_before >= T_EPS, alpha * t_before, 0.0)
 
-        # tiny [P,C]x[C,3] matmul; full fp32 accumulation (default bf16
-        # passes cost ~1e-3 pixel error, visible at 35+ dB targets)
-        acc = acc + jnp.einsum("cp,ck->pk", w, col,
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
+        acc_r = acc_r + jnp.sum(w * col_r[safe][:, None], axis=0)
+        acc_g = acc_g + jnp.sum(w * col_g[safe][:, None], axis=0)
+        acc_b = acc_b + jnp.sum(w * col_b[safe][:, None], axis=0)
         t_carry = t_carry * jnp.exp(jnp.sum(
             jnp.where(t_before >= T_EPS, log_t, 0.0), axis=0))
-        return (t_carry, acc), None
+        return (t_carry, acc_r, acc_g, acc_b), None
 
     t0 = jnp.ones((p,), jnp.float32)
-    acc0 = jnp.zeros((p, 3), jnp.float32)
+    z = jnp.zeros((p,), jnp.float32)
     # checkpoint per scan step: backward keeps only the [P]-sized carries
     # per chunk and recomputes the [chunk, P] alpha math — without this the
     # scan transpose materializes per-chunk-per-tile intermediates
     # (n_tiles * n_chunks * P floats each, tens of GB at 1080p)
-    (t_final, acc), _ = jax.lax.scan(jax.checkpoint(step), (t0, acc0),
-                                     (ids_chunks, pos_chunks))
+    (t_final, acc_r, acc_g, acc_b), _ = jax.lax.scan(
+        jax.checkpoint(step), (t0, z, z, z), (ids_chunks, pos_chunks))
 
-    tile_img = acc + t_final[:, None] * settings.bg
-    return tile_img.reshape(th, tw, 3), t_final.reshape(th, tw)
+    chans = jnp.stack([acc_r, acc_g, acc_b], axis=0) \
+        + t_final[None, :] * settings.bg                 # [3, P]
+    return chans.reshape(3, th, tw), t_final.reshape(th, tw)
 
 
 class RasterOutput(NamedTuple):
-    image: jnp.ndarray        # [H, W, 3] (premultiplied + T*bg)
+    image: jnp.ndarray        # [3, H, W] channel-FIRST (lane dim = W; an
+                              # [H, W, 3] layout pads lanes 42x on TPU)
     transmittance: jnp.ndarray  # [H, W] final per-pixel transmittance —
                               # enables z-slab cross-device compositing
     radii: jnp.ndarray        # [M] pixel radii (0 = culled)
@@ -356,13 +361,13 @@ def rasterize(xyz, color, opacity, scaling, rot, valid,
             settings)
     )(tile_lists, tile_counts, ty_grid, tx_grid)
 
-    # [n_tiles, th, tw, 3] -> [H_pad, W_pad, 3] -> crop
-    img = tile_imgs.reshape(settings.n_tiles_y, settings.n_tiles_x,
-                            settings.tile_h, settings.tile_w, 3)
-    img = img.transpose(0, 2, 1, 3, 4).reshape(
-        settings.n_tiles_y * settings.tile_h,
-        settings.n_tiles_x * settings.tile_w, 3)
-    img = img[:settings.image_height, :settings.image_width]
+    # [n_tiles, 3, th, tw] -> [3, H_pad, W_pad] -> crop
+    img = tile_imgs.reshape(settings.n_tiles_y, settings.n_tiles_x, 3,
+                            settings.tile_h, settings.tile_w)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(
+        3, settings.n_tiles_y * settings.tile_h,
+        settings.n_tiles_x * settings.tile_w)
+    img = img[:, :settings.image_height, :settings.image_width]
     t_map = tile_ts.reshape(settings.n_tiles_y, settings.n_tiles_x,
                             settings.tile_h, settings.tile_w)
     t_map = t_map.transpose(0, 2, 1, 3).reshape(
@@ -388,7 +393,7 @@ def rasterize_dense_reference(xyz, color, opacity, scaling, rot, valid,
     order = np.argsort(np.where(np.asarray(proj.valid), proj.depth, np.inf),
                        kind="stable")
     h, w = settings.image_height, settings.image_width
-    img = np.zeros((h, w, 3), np.float32)
+    img = np.zeros((h, w, 3), np.float32)  # HWC internally; [3,H,W] out
     t = np.ones((h, w), np.float32)
     ys, xs = np.meshgrid(np.arange(h, dtype=np.float32),
                          np.arange(w, dtype=np.float32), indexing="ij")
@@ -427,4 +432,4 @@ def rasterize_dense_reference(xyz, color, opacity, scaling, rot, valid,
         img += (contrib * t)[..., None] * col[g]
         t = t * np.where(t >= T_EPS, 1.0 - alpha, 1.0)
     img += t[..., None] * settings.bg
-    return img
+    return img.transpose(2, 0, 1)  # [3, H, W] like the tiled path

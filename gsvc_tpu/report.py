@@ -35,7 +35,7 @@ def _make_eval_render(cfg: GaussianConfig, settings: RasterSettings,
         rb = render_frame(state, cfg, frame_z, x_min, y_min, scale,
                           settings, window_cap, mode, None, flip=True,
                           decoded=decoded)
-        return (rf.image + rb.image[:, ::-1, :]) / 2.0
+        return (rf.image + rb.image[:, :, ::-1]) / 2.0
 
     return render
 
@@ -66,11 +66,13 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
     render_time = time.perf_counter() - t0
     fps = len(frame_zs) / render_time
 
-    can_msssim = compute_msssim and images[0].shape[0] >= 176 \
-        and images[0].shape[1] >= 176
+    can_msssim = compute_msssim and images[0].shape[1] >= 176 \
+        and images[0].shape[2] >= 176
     if gt_images is not None:
         for i, img in enumerate(images):
             gt = jnp.asarray(gt_images[i])
+            if gt.ndim == 3 and gt.shape[-1] == 3:   # HWC input -> CHW
+                gt = jnp.transpose(gt, (2, 0, 1))
             psnrs.append(float(psnr(img, gt)))
             ssims.append(float(ssim(img, gt)))
             if can_msssim:
@@ -82,7 +84,8 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
         out = pathlib.Path(dump_dir)
         out.mkdir(parents=True, exist_ok=True)
         for i, img in enumerate(images):
-            arr = np.clip(np.asarray(img) * 255, 0, 255).astype(np.uint8)
+            arr = np.clip(np.asarray(img).transpose(1, 2, 0) * 255,
+                          0, 255).astype(np.uint8)
             Image.fromarray(arr).save(out / f"frame_{i:05d}.png")
 
     result = {"fps": fps, "num_frames": len(frame_zs),

@@ -108,8 +108,10 @@ class GOPFitter:
         self.controller = TrainingController(opt)
         self._build_step()
 
-        # preload frames/flows on device once (HBM resident across steps)
-        self.images = jnp.asarray(self.dataset.images)     # [T, H, W, 3]
+        # preload frames/flows on device once (HBM resident across steps);
+        # channel-FIRST [T, 3, H, W] — W on the lane dim (see splat.py)
+        self.images = jnp.asarray(
+            np.transpose(self.dataset.images, (0, 3, 1, 2)))
         if self.dataset.flows is not None:
             self.flows = jnp.asarray(self.dataset.flows)   # [T-1, 2, H, W]
         else:
@@ -206,9 +208,30 @@ class GOPFitter:
             self._build_step()
         return res
 
+    # -- model snapshots (reference: FrameCube.save, frame_cube.py:151-154)
+    def save_snapshot(self, out_dir: str):
+        """point_cloud.ply + networks pickle — the mid-training artifact
+        family (save_ply / save_mlp_checkpoints)."""
+        import pathlib
+        import pickle
+
+        from gsvc_tpu.models.gaussians import AnchorState
+        from gsvc_tpu.utils.ply import save_gaussian_ply
+
+        p = pathlib.Path(out_dir)
+        p.mkdir(parents=True, exist_ok=True)
+        n = int(self.state.n_active)
+        anchors = {f: np.asarray(getattr(self.state.anchors, f))[:n]
+                   for f in AnchorState._fields}
+        save_gaussian_ply(str(p / "point_cloud.ply"), anchors)
+        nets_host = jax.tree.map(np.asarray, self.state.nets._asdict())
+        with open(p / "networks.pkl", "wb") as f:
+            pickle.dump(nets_host, f)
+
     # -- main loop ---------------------------------------------------------
     def fit(self, iterations: Optional[int] = None,
-            eval_every: int = 0, log_every: int = 100) -> FitReport:
+            eval_every: int = 0, log_every: int = 100,
+            rate_log_every: int = 0) -> FitReport:
         opt = self.cfg.optimization
         total = iterations if iterations is not None else opt.iterations
         report = FitReport()
@@ -256,6 +279,24 @@ class GOPFitter:
             if eval_every and it % eval_every == 0:
                 ev = self.evaluate(mode=mode)
                 self.log(f"iter {it}: eval psnr={ev['psnr']:.2f}")
+
+            # estimated whole-model rate telemetry (the reference logs this
+            # every 100 iters during entropy phases, pipeline/train.py:547)
+            if (rate_log_every and self.controller.entropy_constrained
+                    and it % rate_log_every == 0):
+                from gsvc_tpu.codec.estimate import estimate_final_bits
+
+                est = estimate_final_bits(self.state, self.gcfg)
+                self.log(
+                    f"iter {it}: est bits MB "
+                    f"anchor={est.bit_anchor/8/2**20:.3f} "
+                    f"feat={est.bit_feat/8/2**20:.3f} "
+                    f"scaling={est.bit_scaling/8/2**20:.3f} "
+                    f"offsets={est.bit_offsets/8/2**20:.3f} "
+                    f"hash={est.bit_hash/8/2**20:.3f} "
+                    f"masks={est.bit_masks/8/2**20:.3f} "
+                    f"mlp={est.bit_mlp/8/2**20:.3f} "
+                    f"total={est.total/8/2**20:.3f}")
 
             self.controller.step()
 

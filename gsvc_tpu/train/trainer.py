@@ -145,8 +145,8 @@ def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
         r1f, r1b, r2f, r2b = _render4(st, z1, z2, key, mode, m2d)
         renders = (r1f, r1b, r2f, r2b)
 
-        image1 = (r1f.image + r1b.image[:, ::-1, :]) / 2.0
-        image2 = (r2f.image + r2b.image[:, ::-1, :]) / 2.0
+        image1 = (r1f.image + r1b.image[:, :, ::-1]) / 2.0
+        image2 = (r2f.image + r2b.image[:, :, ::-1]) / 2.0
 
         l1 = (jnp.mean(jnp.abs(image1 - gt1))
               + jnp.mean(jnp.abs(image2 - gt2)))

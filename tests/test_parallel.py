@@ -55,7 +55,7 @@ def test_slab_composite_matches_single_device():
 
     f = shard_map(body, mesh=mesh,
                   in_specs=(P("sp"), P(), P(), P(), P()),
-                  out_specs=P(), check_rep=False)
+                  out_specs=P(), check_vma=False)
     img = f(state.anchors, state.nets, state.n_active,
             state.x_bound_min, state.x_bound_max)
     np.testing.assert_allclose(np.asarray(img), np.asarray(full.image),
@@ -77,7 +77,7 @@ def test_spmd_train_step_runs_and_improves():
     lrs = {k: fn(1) for k, fn in scheds.items()}
 
     rng = np.random.default_rng(0)
-    gt = jnp.asarray(rng.uniform(0.2, 0.8, (2, 24, 32, 3)), jnp.float32)
+    gt = jnp.asarray(rng.uniform(0.2, 0.8, (2, 3, 24, 32)), jnp.float32)
     z1 = jnp.asarray([0.0, 0.01])
     z2 = jnp.asarray([0.01, 0.02])
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
@@ -103,7 +103,7 @@ def test_spmd_entropy_mode_compiles():
                                 y_min=-0.4, scale=20.0, mesh=mesh)
     adam = adam_init((state.anchors, state.nets))
     lrs = {k: fn(1) for k, fn in build_schedules(opt).items()}
-    gt = jnp.full((2, 16, 16, 3), 0.5)
+    gt = jnp.full((2, 3, 16, 16), 0.5)
     keys = jax.random.split(jax.random.PRNGKey(1), 2)
     state, adam, metrics = step(
         state, adam, lrs, jnp.zeros(2), jnp.full(2, 0.01), gt, gt, keys,

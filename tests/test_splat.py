@@ -78,7 +78,7 @@ class TestTSW:
         args = list(make_scene(m=1))
         out_f = rasterize(*args, **GEOM, settings=SETTINGS, flip=False)
         out_b = rasterize(*args, **GEOM, settings=SETTINGS, flip=True)
-        img_bf = np.asarray(out_b.image)[:, ::-1]
+        img_bf = np.asarray(out_b.image)[:, :, ::-1]
         # the mirrored pixel grid is offset by the even/odd pixel mapping:
         # x_min = -1, scale=28 -> mirror symmetric around pixel 27.5
         np.testing.assert_allclose(img_bf, np.asarray(out_f.image), atol=1e-4)
@@ -87,7 +87,7 @@ class TestTSW:
 class TestGradients:
     def test_grad_matches_finite_difference(self):
         args = make_scene(m=6)
-        target = jnp.ones((SETTINGS.image_height, SETTINGS.image_width, 3)) * 0.5
+        target = jnp.ones((3, SETTINGS.image_height, SETTINGS.image_width)) * 0.5
 
         def loss(xyz, color, opacity, scaling):
             out = rasterize(xyz, color, opacity, scaling, args[4], args[5],
