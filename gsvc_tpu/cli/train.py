@@ -17,6 +17,62 @@ import pathlib
 from gsvc_tpu.cli.common import base_parser, model_config_dict, resolve_config
 
 
+def _train_segmented(args, cfg):
+    """Fit one model per GOP segment of a long video (the reference's
+    UVG protocol: one model per frames-directory segment).
+
+    Frames are symlinked into per-GOP temp dirs; per-GOP bitstreams land
+    in <model_path>/gop_<k>/; aggregate bpp/PSNR goes to results.json."""
+    import json
+    import os
+    import tempfile
+
+    src = pathlib.Path(cfg.pipeline.source_path)
+    frames = sorted(p for p in src.iterdir() if p.is_file())
+    flow_dir = pathlib.Path(cfg.pipeline.optical_path) \
+        if cfg.pipeline.optical_path else None
+    flows = sorted(p for p in flow_dir.iterdir()) if flow_dir else []
+
+    g = args.gop_size
+    segments = [(i, frames[i:i + g]) for i in range(0, len(frames), g)]
+    aggregate = []
+    root = pathlib.Path(cfg.pipeline.model_path)
+    for start, seg in segments:
+        with tempfile.TemporaryDirectory() as td:
+            fdir = pathlib.Path(td) / "frames"
+            fdir.mkdir()
+            for p in seg:
+                os.symlink(p.resolve(), fdir / p.name)
+            odir = None
+            if flows:
+                odir = pathlib.Path(td) / "flow"
+                odir.mkdir()
+                for p in flows[start:start + len(seg) - 1]:
+                    os.symlink(p.resolve(), odir / p.name)
+            seg_args = ["--source_path", str(fdir),
+                        "--model_path", str(root / f"gop_{start:05d}"),
+                        "--seed", str(args.seed)]
+            if odir is not None:
+                seg_args += ["--optical_path", str(odir)]
+            if args.config_path:
+                seg_args += ["--config_path", args.config_path]
+            if args.lmbda is not None:
+                seg_args += ["--lmbda", str(args.lmbda)]
+            if args.iterations is not None:
+                seg_args += ["--iterations", str(args.iterations)]
+            aggregate.append(main(seg_args))
+    summary = {
+        "gops": len(segments),
+        "mean_psnr": float(sum(r.get("decoded_psnr") or 0
+                               for r in aggregate) / len(aggregate)),
+        "mean_bpp": float(sum(r.get("bpp") or 0
+                              for r in aggregate) / len(aggregate)),
+        "per_gop": aggregate,
+    }
+    (root / "results.json").write_text(json.dumps(summary, indent=2))
+    return summary
+
+
 def main(argv=None):
     parser = base_parser(__doc__)
     parser.add_argument("--checkpoint", type=str, default=None,
@@ -29,9 +85,16 @@ def main(argv=None):
     parser.add_argument("--profile", type=str, default=None,
                         help="capture a jax.profiler trace into this dir "
                              "for the first ~50 iterations")
+    parser.add_argument("--gop_size", type=int, default=0,
+                        help="split long videos into GOPs of this many "
+                             "frames, fitting one model per GOP (the "
+                             "reference fits UVG per segment)")
     args = parser.parse_args(argv)
 
     cfg = resolve_config(args)
+
+    if args.gop_size:
+        return _train_segmented(args, cfg)
 
     from gsvc_tpu.codec.bitstream import conduct_decoding, conduct_encoding
     from gsvc_tpu.codec.estimate import estimate_final_bits
