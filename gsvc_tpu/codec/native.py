@@ -156,7 +156,9 @@ def encode_octree(xyz_q: np.ndarray, depth: int = 16) -> bytes:
     lib = _get_lib()
     flat = np.ascontiguousarray(xyz_q.reshape(-1), np.uint32)
     n = xyz_q.shape[0]
-    cap = 64 + 8 * max(n, 2)
+    # worst case: every point opens its own branch at every level
+    # (~depth bytes of occupancy context each) plus coder overhead
+    cap = 1024 + 4 * max(n, 2) * depth
     out = np.empty(cap, np.uint8)
     written = lib.octree_encode(flat, n, depth, out, cap)
     if written < 0:

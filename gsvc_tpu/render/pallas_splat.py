@@ -44,7 +44,8 @@ def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
     tile_id = pl.program_id(0)
     tile_x = tile_id % settings.n_tiles_x
     tile_y = tile_id // settings.n_tiles_x
-    count = count_ref[0, 0]
+    # count_ref is the scalar-prefetch [n_tiles] array (SMEM)
+    count = count_ref[tile_id]
 
     px0 = (tile_x * tw).astype(jnp.float32)
     py0 = (tile_y * th).astype(jnp.float32)
@@ -55,15 +56,15 @@ def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
     def body(state):
         c, t_carry, acc_r, acc_g, acc_b = state
         sl = pl.ds(c * chunk, chunk)
-        mu_x = mux_ref[0, sl]          # [C]
-        mu_y = muy_ref[0, sl]
-        con_a = cona_ref[0, sl]
-        con_b = conb_ref[0, sl]
-        con_c = conc_ref[0, sl]
-        op = op_ref[0, sl]
-        col_r = colr_ref[0, sl]
-        col_g = colg_ref[0, sl]
-        col_b = colb_ref[0, sl]
+        mu_x = mux_ref[0, 0, sl]       # [C]
+        mu_y = muy_ref[0, 0, sl]
+        con_a = cona_ref[0, 0, sl]
+        con_b = conb_ref[0, 0, sl]
+        con_c = conc_ref[0, 0, sl]
+        op = op_ref[0, 0, sl]
+        col_r = colr_ref[0, 0, sl]
+        col_g = colg_ref[0, 0, sl]
+        col_b = colb_ref[0, 0, sl]
 
         pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
         row_valid = pos < count        # [C, 1]
@@ -123,28 +124,26 @@ def rasterize_pallas(xyz, color, opacity, scaling, rot, valid,
     tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
         proj, settings)
 
-    safe = jnp.maximum(tile_lists, 0)                 # [T, cap]
-    planes = [
-        proj.mean2d[:, 0][safe], proj.mean2d[:, 1][safe],
-        proj.conic[:, 0][safe], proj.conic[:, 1][safe],
-        proj.conic[:, 2][safe],
-        jnp.where(tile_lists >= 0, opacity[:, 0][safe], 0.0),
-        color[:, 0][safe], color[:, 1][safe], color[:, 2][safe],
-    ]
+    from gsvc_tpu.render.splat import gather_tile_planes
+
+    planes = gather_tile_planes(proj, opacity, color, tile_lists)
 
     th, tw = settings.tile_h, settings.tile_w
     p = th * tw
     n_tiles = settings.n_tiles
     cap = settings.gaussian_cap
 
-    plane_spec = pl.BlockSpec((1, cap), lambda t: (t, 0),
+    # index maps receive (grid_idx, *scalar_refs); use the grid index.
+    # planes are [T, 1, cap]: TPU rank-2 blocks need sublane multiples of
+    # 8, so a unit middle dim makes the (1, cap) trailing block legal
+    planes = tuple(p_[:, None, :] for p_ in planes)
+    plane_spec = pl.BlockSpec((1, 1, cap), lambda g, counts: (g, 0, 0),
                               memory_space=pltpu.VMEM)
-    grid_spec = pl.GridSpec(
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,          # tile_counts lives in SMEM
         grid=(n_tiles,),
-        in_specs=[pl.BlockSpec((1, 1), lambda t: (t, 0),
-                               memory_space=pltpu.SMEM)]
-        + [plane_spec] * 9,
-        out_specs=pl.BlockSpec((1, 4, p), lambda t: (t, 0, 0),
+        in_specs=[plane_spec] * 9,
+        out_specs=pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -153,7 +152,7 @@ def rasterize_pallas(xyz, color, opacity, scaling, rot, valid,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_tiles, 4, p), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(tile_counts[:, None], *planes)
+    )(tile_counts, *planes)
 
     # [n_tiles, 4, p] -> [4, H, W] -> split
     full = out.reshape(settings.n_tiles_y, settings.n_tiles_x, 4, th, tw)

@@ -252,9 +252,16 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
 # Compositing
 # ---------------------------------------------------------------------------
 
-def _composite_tile(gauss_ids, count, tile_y, tile_x,
-                    mean2d, conic, opacity, color, settings: RasterSettings):
-    """Alpha-composite one tile.  gauss_ids: [cap] depth-ordered (-1 pad)."""
+def _composite_tile(planes, count, tile_y, tile_x,
+                    settings: RasterSettings):
+    """Alpha-composite one tile from pre-gathered attribute planes.
+
+    planes: 9-tuple of [cap] rows (mu_x, mu_y, con_a, con_b, con_c,
+    opacity, col_r, col_g, col_b), depth-ordered, zero-padded.  The
+    per-tile gather happens ONCE in the caller as a single fused [T, cap]
+    gather — per-chunk scattered gathers inside the scan measured ~5x
+    slower on TPU.
+    """
     th, tw = settings.tile_h, settings.tile_w
     py0 = tile_y * th
     px0 = tile_x * tw
@@ -267,31 +274,22 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
 
     cap, chunk = settings.gaussian_cap, settings.chunk
     n_chunks = cap // chunk
-    ids_chunks = gauss_ids.reshape(n_chunks, chunk)
-    pos_chunks = jnp.arange(cap, dtype=jnp.int32).reshape(n_chunks, chunk)
-
     p = th * tw
 
-    # struct-of-arrays: every per-gaussian quantity stays a flat [C] or
-    # [C, P] array — trailing size-2/3 dims would tile to (*, 128) lanes
-    # on TPU and waste 42x memory/bandwidth
-    mu_x, mu_y = mean2d[:, 0], mean2d[:, 1]
-    con_a, con_b, con_c = conic[:, 0], conic[:, 1], conic[:, 2]
-    col_r, col_g, col_b = color[:, 0], color[:, 1], color[:, 2]
-    op_flat = opacity[:, 0]
+    chunked = tuple(plane.reshape(n_chunks, chunk) for plane in planes)
+    pos_chunks = jnp.arange(cap, dtype=jnp.int32).reshape(n_chunks, chunk)
 
     def step(carry, inp):
         t_carry, acc_r, acc_g, acc_b = carry
-        ids, pos = inp
-        g_valid = (ids >= 0) & (pos < count)
-        safe = jnp.maximum(ids, 0)
+        (mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b), pos = inp
+        g_valid = pos < count
 
-        d0 = pix_x[None, :] - mu_x[safe][:, None]        # [C, P]
-        d1 = pix_y[None, :] - mu_y[safe][:, None]        # [C, P]
-        q = (con_a[safe][:, None] * d0 * d0
-             + 2.0 * con_b[safe][:, None] * d0 * d1
-             + con_c[safe][:, None] * d1 * d1)           # [C, P]
-        alpha = op_flat[safe][:, None] * jnp.exp(-0.5 * q)
+        d0 = pix_x[None, :] - mu_x[:, None]              # [C, P]
+        d1 = pix_y[None, :] - mu_y[:, None]              # [C, P]
+        q = (con_a[:, None] * d0 * d0
+             + 2.0 * con_b[:, None] * d0 * d1
+             + con_c[:, None] * d1 * d1)                 # [C, P]
+        alpha = op[:, None] * jnp.exp(-0.5 * q)
         alpha = jnp.minimum(alpha, ALPHA_MAX)
         alpha = jnp.where(g_valid[:, None] & (alpha >= ALPHA_MIN), alpha, 0.0)
 
@@ -300,9 +298,9 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
         t_before = t_carry[None, :] * jnp.exp(cum)       # [C, P]
         w = jnp.where(t_before >= T_EPS, alpha * t_before, 0.0)
 
-        acc_r = acc_r + jnp.sum(w * col_r[safe][:, None], axis=0)
-        acc_g = acc_g + jnp.sum(w * col_g[safe][:, None], axis=0)
-        acc_b = acc_b + jnp.sum(w * col_b[safe][:, None], axis=0)
+        acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0)
+        acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0)
+        acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0)
         t_carry = t_carry * jnp.exp(jnp.sum(
             jnp.where(t_before >= T_EPS, log_t, 0.0), axis=0))
         return (t_carry, acc_r, acc_g, acc_b), None
@@ -314,11 +312,24 @@ def _composite_tile(gauss_ids, count, tile_y, tile_x,
     # scan transpose materializes per-chunk-per-tile intermediates
     # (n_tiles * n_chunks * P floats each, tens of GB at 1080p)
     (t_final, acc_r, acc_g, acc_b), _ = jax.lax.scan(
-        jax.checkpoint(step), (t0, z, z, z), (ids_chunks, pos_chunks))
+        jax.checkpoint(step), (t0, z, z, z), (chunked, pos_chunks))
 
     chans = jnp.stack([acc_r, acc_g, acc_b], axis=0) \
         + t_final[None, :] * settings.bg                 # [3, P]
     return chans.reshape(3, th, tw), t_final.reshape(th, tw)
+
+
+def gather_tile_planes(proj: Projected, opacity, color, tile_lists):
+    """One fused gather of all per-gaussian attributes into [T, cap]
+    struct-of-arrays planes (shared by the jnp and Pallas compositors)."""
+    safe = jnp.maximum(tile_lists, 0)
+    return (
+        proj.mean2d[:, 0][safe], proj.mean2d[:, 1][safe],
+        proj.conic[:, 0][safe], proj.conic[:, 1][safe],
+        proj.conic[:, 2][safe],
+        jnp.where(tile_lists >= 0, opacity[:, 0][safe], 0.0),
+        color[:, 0][safe], color[:, 1][safe], color[:, 2][safe],
+    )
 
 
 class RasterOutput(NamedTuple):
@@ -349,6 +360,7 @@ def rasterize(xyz, color, opacity, scaling, rot, valid,
 
     tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
         proj, settings)
+    planes = gather_tile_planes(proj, opacity, color, tile_lists)
 
     tiles_y = jnp.arange(settings.n_tiles_y, dtype=jnp.int32)
     tiles_x = jnp.arange(settings.n_tiles_x, dtype=jnp.int32)
@@ -356,10 +368,8 @@ def rasterize(xyz, color, opacity, scaling, rot, valid,
     tx_grid = jnp.tile(tiles_x, settings.n_tiles_y)
 
     tile_imgs, tile_ts = jax.vmap(
-        lambda ids, cnt, ty, tx: _composite_tile(
-            ids, cnt, ty, tx, proj.mean2d, proj.conic, opacity, color,
-            settings)
-    )(tile_lists, tile_counts, ty_grid, tx_grid)
+        lambda pln, cnt, ty, tx: _composite_tile(pln, cnt, ty, tx, settings)
+    )(planes, tile_counts, ty_grid, tx_grid)
 
     # [n_tiles, 3, th, tw] -> [3, H_pad, W_pad] -> crop
     img = tile_imgs.reshape(settings.n_tiles_y, settings.n_tiles_x, 3,

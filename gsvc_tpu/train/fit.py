@@ -49,7 +49,9 @@ def compute_window_cap(z_sorted: np.ndarray, n_active: int,
         hi = np.searchsorted(z, fz + threshold, side="right")
         max_band = max(max_band, hi - lo)
     cap = _round_up(int(max_band * headroom) + 8, quantum)
-    return min(cap, _round_up(max(n_active, 1), quantum))
+    # never exceed the physical buffer length
+    return max(1, min(cap, _round_up(max(n_active, 1), quantum),
+                      len(z_sorted)))
 
 
 @dataclass
