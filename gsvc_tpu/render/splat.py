@@ -213,6 +213,9 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     wx = tx1 - tx0 + 1
     wy = ty1 - ty0 + 1
     n_cover = wx * wy
+    # diagnosed, not silent: copies beyond tiles_per_gaussian are dropped
+    coverage_clipped = jnp.sum(
+        jnp.where(proj.valid, jnp.maximum(n_cover - t_max, 0), 0))
 
     slot = jnp.arange(t_max, dtype=jnp.int32)[None, :]        # [1, T]
     dy = slot // wx[:, None]
@@ -243,7 +246,7 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     gather_idx = jnp.clip(gather_idx, 0, m * t_max - 1)
     tile_lists = jnp.where(in_range, gauss_sorted[gather_idx], -1)
 
-    overflow = jnp.maximum(tile_count - cap, 0).sum()
+    overflow = jnp.maximum(tile_count - cap, 0).sum() + coverage_clipped
     total_copies = jnp.minimum(tile_count, cap).sum()
     return tile_lists, jnp.minimum(tile_count, cap), overflow, total_copies
 
