@@ -60,6 +60,7 @@ def render_frame(
     decoded: bool = False,
     means2d: Optional[jnp.ndarray] = None,
     use_pallas: bool = False,
+    rasterizer: str = None,
 ) -> RenderResults:
     """Render one frame plane in one view direction.
 
@@ -67,21 +68,32 @@ def render_frame(
     view whose image the caller x-flips before averaging
     (reference: pipeline/train.py:358-375).
 
-    ``use_pallas`` selects the forward-only Pallas tile kernel (per-tile
-    early exit) — inference/decode paths only; not differentiable.
+    ``rasterizer``: "jnp" (differentiable XLA compositor),
+    "pallas" (forward-only kernel, per-tile early exit — decode/eval),
+    "pallas_train" (custom-VJP kernel pair — training fast path).
+    ``use_pallas`` is a legacy alias for rasterizer="pallas".
     """
+    if rasterizer is None:
+        rasterizer = "pallas" if use_pallas else "jnp"
     start, in_window = window_for_frame(state, cfg, frame_z, window_cap)
     gss = generate_neural_gaussians(
         state, cfg, frame_z=frame_z, cam_z=frame_z,
         window_start=start, in_window=in_window, cap=window_cap,
         mode=mode, key=key, decoded=decoded)
 
-    if use_pallas:
+    if rasterizer == "pallas":
         from gsvc_tpu.render.pallas_splat import rasterize_pallas
 
         out = rasterize_pallas(
             gss.xyz, gss.color, gss.opacity, gss.scaling, gss.rot,
             gss.valid, frame_z, x_min, y_min, scale, settings, flip=flip)
+    elif rasterizer == "pallas_train":
+        from gsvc_tpu.render.pallas_splat import rasterize_pallas_train
+
+        out = rasterize_pallas_train(
+            gss.xyz, gss.color, gss.opacity, gss.scaling, gss.rot,
+            gss.valid, frame_z, x_min, y_min, scale, settings, flip=flip,
+            means2d=means2d)
     else:
         out = rasterize(
             gss.xyz, gss.color, gss.opacity, gss.scaling, gss.rot,

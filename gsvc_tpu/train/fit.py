@@ -129,10 +129,14 @@ class GOPFitter:
 
     def _build_step(self):
         d = self.dataset
+        # pallas kernels only on real TPU (interpret mode is for tests)
+        rasterizer = "pallas_train" if (
+            self.cfg.pipeline.use_pallas
+            and jax.default_backend() == "tpu") else "jnp"
         self.train_step = make_train_step(
             self.gcfg, self.settings, self.window_cap, self.cfg.optimization,
             width=d.width, height=d.height, scale=d.scale,
-            x_min=d.x_min, y_min=d.y_min)
+            x_min=d.x_min, y_min=d.y_min, rasterizer=rasterizer)
 
     def _lr_values(self, it: int) -> Dict[str, float]:
         return {name: sched(it) for name, sched in self.schedules.items()}

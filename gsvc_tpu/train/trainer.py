@@ -115,7 +115,7 @@ def optical_flow_loss(r1: RenderResults, r2: RenderResults, flow,
 def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
                    window_cap: int, opt: OptimizationConfig,
                    width: int, height: int, scale: float,
-                   x_min: float, y_min: float):
+                   x_min: float, y_min: float, rasterizer: str = "jnp"):
     """Builds the frame-pair loss (4 renders + all loss terms).
 
     Shared between the single-chip train step and the shard_map
@@ -129,16 +129,16 @@ def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
         m2 = (lambda i: m2d[i]) if m2d is not None else (lambda i: None)
         r1f = render_frame(st, cfg, z1, x_min, y_min, scale, settings,
                            window_cap, mode, keys[0], flip=False,
-                           means2d=m2(0))
+                           means2d=m2(0), rasterizer=rasterizer)
         r1b = render_frame(st, cfg, z1, x_min, y_min, scale, settings,
                            window_cap, mode, keys[1], flip=True,
-                           means2d=m2(1))
+                           means2d=m2(1), rasterizer=rasterizer)
         r2f = render_frame(st, cfg, z2, x_min, y_min, scale, settings,
                            window_cap, mode, keys[2], flip=False,
-                           means2d=m2(2))
+                           means2d=m2(2), rasterizer=rasterizer)
         r2b = render_frame(st, cfg, z2, x_min, y_min, scale, settings,
                            window_cap, mode, keys[3], flip=True,
-                           means2d=m2(3))
+                           means2d=m2(3), rasterizer=rasterizer)
         return r1f, r1b, r2f, r2b
 
     def _loss(st: ModelState, z1, z2, gt1, gt2, flow, key, mode, m2d):
@@ -220,12 +220,12 @@ def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
 def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
                     window_cap: int, opt: OptimizationConfig,
                     width: int, height: int, scale: float,
-                    x_min: float, y_min: float):
+                    x_min: float, y_min: float, rasterizer: str = "jnp"):
     """Builds the jitted single-chip train step closed over static config."""
 
     k = cfg.n_offsets
     _loss = make_pair_loss(cfg, settings, window_cap, opt, width, height,
-                           scale, x_min, y_min)
+                           scale, x_min, y_min, rasterizer=rasterizer)
 
     def _accumulate_stats(stats: TrainStats, renders, m2d_grads, scale):
         """training_statis for 4 renders (gaussian_model.py:1281-1314),
