@@ -99,7 +99,8 @@ def combine_slab_renders(partial_img, partial_t, flip: bool, bg: float,
 def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
                          window_cap: int, opt: OptimizationConfig,
                          width: int, height: int, scale: float,
-                         x_min: float, y_min: float, mesh: Mesh):
+                         x_min: float, y_min: float, mesh: Mesh,
+                         rasterizer: str = "jnp"):
     """SPMD train step: batch of ``n_dp`` frame pairs, anchors z-slab
     sharded over ``sp``.  Returns a jitted function
 
@@ -113,7 +114,8 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
 
     def _render_combined(st, z, key, mode, flip):
         r = render_frame(st, cfg, z, x_min, y_min, scale, local_settings,
-                         window_cap, mode, key, flip=flip)
+                         window_cap, mode, key, flip=flip,
+                         rasterizer=rasterizer)
         img, _ = combine_slab_renders(r.image, r.transmittance, flip, bg)
         return img, r
 

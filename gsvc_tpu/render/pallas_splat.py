@@ -55,7 +55,7 @@ def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
 
     def body(state):
         c, t_carry, acc_r, acc_g, acc_b = state
-        sl = pl.ds(c * chunk, chunk)
+        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         mu_x = mux_ref[0, 0, sl]       # [C]
         mu_y = muy_ref[0, 0, sl]
         con_a = cona_ref[0, 0, sl]
@@ -79,9 +79,7 @@ def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
         log_t = jnp.log1p(-alpha)
         # exclusive cumsum along the chunk via a strictly-lower-triangular
         # ones matmul — MXU-friendly; lax.cumsum has no Pallas lowering
-        tri = (jax.lax.broadcasted_iota(jnp.float32, (chunk, chunk), 0)
-               > jax.lax.broadcasted_iota(jnp.float32, (chunk, chunk), 1)
-               ).astype(jnp.float32)
+        tri = _tri_excl_lower(chunk)
         cum = jax.lax.dot_general(
             tri, log_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
@@ -124,14 +122,15 @@ def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
 # ---------------------------------------------------------------------------
 
 def _tri_excl_lower(chunk):
-    return (jax.lax.broadcasted_iota(jnp.float32, (chunk, chunk), 0)
-            > jax.lax.broadcasted_iota(jnp.float32, (chunk, chunk), 1)
+    # int32 iota: Mosaic rejects float-typed tpu.iota
+    return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
             ).astype(jnp.float32)
 
 
 def _tri_excl_upper(chunk):
-    return (jax.lax.broadcasted_iota(jnp.float32, (chunk, chunk), 0)
-            < jax.lax.broadcasted_iota(jnp.float32, (chunk, chunk), 1)
+    return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+            < jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
             ).astype(jnp.float32)
 
 
@@ -193,7 +192,7 @@ def _fwd_train_kernel(count_ref, *refs, settings: RasterSettings):
     def body(state):
         c, t_carry, acc_r, acc_g, acc_b = state
         tchk_ref[0, c, :] = t_carry[0]
-        sl = pl.ds(c * chunk, chunk)
+        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (_, _, _, _, _, _, col_r, col_g, col_b, _, _, alpha, _) = \
             _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk)
         log_t = jnp.log1p(-alpha)
@@ -271,7 +270,7 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
     def last_chunk_tfinal():
         # recompute T_final by replaying the last used chunk
         c = jnp.maximum(n_used - 1, 0)
-        sl = pl.ds(c * chunk, chunk)
+        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (_, _, _, _, _, _, _, _, _, _, _, alpha, _) = _chunk_alpha(
             planes_refs, sl, xs, ys, count, c, chunk)
         log_t = jnp.log1p(-alpha)
@@ -288,7 +287,7 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
 
     def body(state):
         c, a_acc = state
-        sl = pl.ds(c * chunk, chunk)
+        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b,
          d0, d1, alpha, act) = _chunk_alpha(planes_refs, sl, xs, ys, count,
                                             c, chunk)
@@ -346,6 +345,8 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
 
 def _train_planes_composite(settings: RasterSettings, planes, tile_counts):
     """pallas forward returning (out4 [T,4,P], t_chk [T,n_chunks,P])."""
+    assert settings.chunk % 128 == 0 or jax.default_backend() != "tpu", \
+        "pallas compositing needs chunk % 128 == 0 (lane-aligned slices)"
     n_tiles = settings.n_tiles
     cap = settings.gaussian_cap
     p = settings.tile_h * settings.tile_w
