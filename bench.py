@@ -27,6 +27,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
     from gsvc_tpu.config import ModelConfig, OptimizationConfig
     from gsvc_tpu.models.gaussians import (
         GaussianConfig, GenerateMode, init_model, update_anchor_bound,
@@ -55,10 +62,12 @@ def main():
 
     window_cap = 16_384
     settings = make_raster_settings(cfg, H, W, tile_h=16, tile_w=128,
-                                    gaussian_cap=768, chunk=64)
+                                    gaussian_cap=768, chunk=128)
     opt = OptimizationConfig(optical_lambda=0.0)
+    rasterizer = "pallas_train" if jax.default_backend() == "tpu" else "jnp"
     step = make_train_step(cfg, settings, window_cap, opt, width=W,
-                           height=H, scale=scale, x_min=x_min, y_min=y_min)
+                           height=H, scale=scale, x_min=x_min, y_min=y_min,
+                           rasterizer=rasterizer)
 
     adam = adam_init((state.anchors, state.nets))
     stats = init_stats(capacity, cfg.n_offsets)
