@@ -76,22 +76,17 @@ def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
         alpha = jnp.minimum(op[:, None] * jnp.exp(-0.5 * q), ALPHA_MAX)
         alpha = jnp.where(row_valid & (alpha >= ALPHA_MIN), alpha, 0.0)
 
-        log_t = jnp.log1p(-alpha)
-        # exclusive cumsum along the chunk via a strictly-lower-triangular
-        # ones matmul — MXU-friendly; lax.cumsum has no Pallas lowering
-        tri = _tri_excl_lower(chunk)
-        cum = jax.lax.dot_general(
-            tri, log_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        t_before = t_carry * jnp.exp(cum)            # [C, P]
+        one_m = 1.0 - alpha
+        excl = _cumprod_excl(one_m, chunk)
+        t_before = t_carry * excl                    # [C, P]
         live = t_before >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)
 
         acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0, keepdims=True)
         acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0, keepdims=True)
         acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0, keepdims=True)
-        t_carry = t_carry * jnp.exp(jnp.sum(
-            jnp.where(live, log_t, 0.0), axis=0, keepdims=True))
+        t_carry = t_carry * jnp.prod(
+            jnp.where(live, one_m, 1.0), axis=0, keepdims=True)
         return c + 1, t_carry, acc_r, acc_g, acc_b
 
     def cond(state):
@@ -132,6 +127,23 @@ def _tri_excl_upper(chunk):
     return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
             ).astype(jnp.float32)
+
+
+def _cumprod_excl(one_m, chunk):
+    """Exclusive prefix product along the chunk (sublane) axis via
+    Hillis-Steele doubling — log2(C) roll+multiply steps, no
+    transcendentals (vs log/matmul/exp)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, one_m.shape, 0)
+    x = one_m
+    d = 1
+    while d < chunk:
+        shifted = pltpu.roll(x, d, axis=0)
+        x = x * jnp.where(rows < d, 1.0, shifted)
+        d *= 2
+    incl = x
+    excl = pltpu.roll(incl, 1, axis=0)
+    excl = jnp.where(rows < 1, 1.0, excl)
+    return excl
 
 
 def _mm(a, b):
@@ -195,16 +207,16 @@ def _fwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (_, _, _, _, _, _, col_r, col_g, col_b, _, _, alpha, _) = \
             _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk)
-        log_t = jnp.log1p(-alpha)
-        cum = _mm(tri, log_t)
-        t_before = t_carry * jnp.exp(cum)
+        one_m = 1.0 - alpha
+        excl = _cumprod_excl(one_m, chunk)
+        t_before = t_carry * excl
         live = t_before >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)
         acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0, keepdims=True)
         acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0, keepdims=True)
         acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0, keepdims=True)
-        t_carry = t_carry * jnp.exp(jnp.sum(
-            jnp.where(live, log_t, 0.0), axis=0, keepdims=True))
+        t_carry = t_carry * jnp.prod(
+            jnp.where(live, one_m, 1.0), axis=0, keepdims=True)
         return c + 1, t_carry, acc_r, acc_g, acc_b
 
     def cond(state):
@@ -273,13 +285,13 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (_, _, _, _, _, _, _, _, _, _, _, alpha, _) = _chunk_alpha(
             planes_refs, sl, xs, ys, count, c, chunk)
-        log_t = jnp.log1p(-alpha)
+        one_m = 1.0 - alpha
         t_start = tchk_ref[0, c, :][None, :]
-        cum = _mm(tri_lo, log_t)
-        t_before = t_start * jnp.exp(cum)
+        excl = _cumprod_excl(one_m, chunk)
+        t_before = t_start * excl
         live = t_before >= T_EPS
-        return t_start * jnp.exp(jnp.sum(
-            jnp.where(live, log_t, 0.0), axis=0, keepdims=True))
+        return t_start * jnp.prod(
+            jnp.where(live, one_m, 1.0), axis=0, keepdims=True)
 
     t_final = last_chunk_tfinal()
 
@@ -291,10 +303,10 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         (mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b,
          d0, d1, alpha, act) = _chunk_alpha(planes_refs, sl, xs, ys, count,
                                             c, chunk)
-        log_t = jnp.log1p(-alpha)
+        one_m_raw = 1.0 - alpha
         t_start = tchk_ref[0, c, :][None, :]
-        cum = _mm(tri_lo, log_t)
-        t_before = t_start * jnp.exp(cum)
+        excl = _cumprod_excl(one_m_raw, chunk)
+        t_before = t_start * excl
         live = t_before >= T_EPS
         w = jnp.where(live, alpha * t_before, 0.0)
 

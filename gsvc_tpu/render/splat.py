@@ -296,16 +296,20 @@ def _composite_tile(planes, count, tile_y, tile_x,
         alpha = jnp.minimum(alpha, ALPHA_MAX)
         alpha = jnp.where(g_valid[:, None] & (alpha >= ALPHA_MIN), alpha, 0.0)
 
-        log_t = jnp.log1p(-alpha)                        # [C, P]
-        cum = jnp.cumsum(log_t, axis=0) - log_t          # exclusive
-        t_before = t_carry[None, :] * jnp.exp(cum)       # [C, P]
-        w = jnp.where(t_before >= T_EPS, alpha * t_before, 0.0)
+        # direct cumulative product of (1 - alpha) — log/exp round trips
+        # cost 2 extra transcendentals per element on the VPU
+        one_m = 1.0 - alpha                              # [C, P] >= 0.01
+        incl = jax.lax.associative_scan(jnp.multiply, one_m, axis=0)
+        excl = jnp.concatenate(
+            [jnp.ones((1,) + incl.shape[1:], incl.dtype), incl[:-1]], axis=0)
+        t_before = t_carry[None, :] * excl               # [C, P]
+        live = t_before >= T_EPS
+        w = jnp.where(live, alpha * t_before, 0.0)
 
         acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0)
         acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0)
         acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0)
-        t_carry = t_carry * jnp.exp(jnp.sum(
-            jnp.where(t_before >= T_EPS, log_t, 0.0), axis=0))
+        t_carry = t_carry * jnp.prod(jnp.where(live, one_m, 1.0), axis=0)
         return (t_carry, acc_r, acc_g, acc_b), None
 
     t0 = jnp.ones((p,), jnp.float32)
