@@ -298,9 +298,17 @@ def conduct_encoding(state: ModelState, cfg: GaussianConfig,
 
 
 def conduct_decoding(streams: Dict[str, bytes], cfg: GaussianConfig,
-                     template: ModelState, capacity: Optional[int] = None):
+                     template: ModelState, capacity: Optional[int] = None,
+                     max_slices: Optional[int] = None):
     """Decode streams into a render-ready ModelState (decoded=True
-    semantics: activations bypassed, anchors z-sorted)."""
+    semantics: activations bypassed, anchors z-sorted).
+
+    ``max_slices`` (streaming bitstreams only) decodes just the first k
+    z-slices — the stream-decodability property: a frame near the start
+    of the video needs only a prefix of the attribute streams (the
+    geometry/mask/hash side info is global, as in the reference where
+    tmc3 decodes all anchors up front).  Undedecoded anchors keep zero
+    masks, so they render as absent."""
     t0 = time.time()
     meta: EncodeMeta = pickle.loads(zlib.decompress(streams["meta.bin"]))
     n = meta.anchor_num
@@ -344,7 +352,16 @@ def conduct_decoding(streams: Dict[str, bytes], cfg: GaussianConfig,
     feat_out = np.zeros((n, cfg.feat_dim), np.float32)
     scaling_out = np.zeros((n, 6), np.float32)
     offsets_out = np.zeros((n, k, 3), np.float32)
-    mask_ordered = masks  # mask stream was written in ordered layout
+    mask_ordered = masks.copy()  # mask stream was written in ordered layout
+
+    if max_slices is not None:
+        assert meta.streaming, "prefix decode needs a streaming bitstream"
+        batches = batches[:max_slices]
+        # anchors beyond the decoded prefix must not render
+        if batches:
+            mask_ordered[batches[-1][1]:] = 0.0
+        else:
+            mask_ordered[:] = 0.0
 
     for s, (lo, hi) in enumerate(batches):
         ec = jax.device_get(_context_batch(
