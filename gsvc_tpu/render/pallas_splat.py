@@ -85,8 +85,7 @@ def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
         acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0, keepdims=True)
         acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0, keepdims=True)
         acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0, keepdims=True)
-        t_carry = t_carry * jnp.prod(
-            jnp.where(live, one_m, 1.0), axis=0, keepdims=True)
+        t_carry = t_carry * _masked_prod(one_m, live, chunk)
         return c + 1, t_carry, acc_r, acc_g, acc_b
 
     def cond(state):
@@ -129,21 +128,32 @@ def _tri_excl_upper(chunk):
             ).astype(jnp.float32)
 
 
-def _cumprod_excl(one_m, chunk):
-    """Exclusive prefix product along the chunk (sublane) axis via
+def _cumprod_incl(x, chunk):
+    """Inclusive prefix product along the chunk (sublane) axis via
     Hillis-Steele doubling — log2(C) roll+multiply steps, no
     transcendentals (vs log/matmul/exp)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, one_m.shape, 0)
-    x = one_m
+    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     d = 1
     while d < chunk:
         shifted = pltpu.roll(x, d, axis=0)
         x = x * jnp.where(rows < d, 1.0, shifted)
         d *= 2
-    incl = x
+    return x
+
+
+def _cumprod_excl(one_m, chunk):
+    rows = jax.lax.broadcasted_iota(jnp.int32, one_m.shape, 0)
+    incl = _cumprod_incl(one_m, chunk)
     excl = pltpu.roll(incl, 1, axis=0)
-    excl = jnp.where(rows < 1, 1.0, excl)
-    return excl
+    return jnp.where(rows < 1, 1.0, excl)
+
+
+def _masked_prod(vals, mask, chunk):
+    """prod over the chunk axis of where(mask, vals, 1) — reduce_prod has
+    no Pallas lowering, so take the last row of the inclusive scan."""
+    m = jnp.where(mask, vals, 1.0)
+    incl = _cumprod_incl(m, chunk)
+    return incl[chunk - 1:chunk, :]
 
 
 def _mm(a, b):
@@ -215,8 +225,7 @@ def _fwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0, keepdims=True)
         acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0, keepdims=True)
         acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0, keepdims=True)
-        t_carry = t_carry * jnp.prod(
-            jnp.where(live, one_m, 1.0), axis=0, keepdims=True)
+        t_carry = t_carry * _masked_prod(one_m, live, chunk)
         return c + 1, t_carry, acc_r, acc_g, acc_b
 
     def cond(state):
@@ -290,8 +299,7 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         excl = _cumprod_excl(one_m, chunk)
         t_before = t_start * excl
         live = t_before >= T_EPS
-        return t_start * jnp.prod(
-            jnp.where(live, one_m, 1.0), axis=0, keepdims=True)
+        return t_start * _masked_prod(one_m, live, chunk)
 
     t_final = last_chunk_tfinal()
 
