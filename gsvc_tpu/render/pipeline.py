@@ -41,8 +41,10 @@ class RenderResults(NamedTuple):
 
 def make_raster_settings(cfg: GaussianConfig, image_height: int,
                          image_width: int, *, tile_h=16, tile_w=128,
-                         gaussian_cap=1024, chunk=64, tiles_per_gaussian=64,
+                         gaussian_cap=1024, chunk=128, tiles_per_gaussian=64,
                          bg=0.0) -> RasterSettings:
+    # chunk must be a multiple of 128 for the Pallas kernels (lane-aligned
+    # dynamic slices); the jnp compositor accepts any divisor of cap
     return RasterSettings(
         image_height=image_height, image_width=image_width,
         threshold=cfg.threshold, kernel_size=cfg.kernel_size,

@@ -25,16 +25,19 @@ from gsvc_tpu.render.splat import RasterSettings
 def _make_eval_render(cfg: GaussianConfig, settings: RasterSettings,
                       window_cap: int, x_min: float, y_min: float,
                       scale: float, mode: GenerateMode, decoded: bool):
-    """One jitted fwd+bwd averaged frame render."""
+    """One jitted fwd+bwd averaged frame render (Pallas early-exit kernel
+    on real TPUs — the decode-FPS fast path)."""
+    rasterizer = "pallas" if (jax.default_backend() == "tpu"
+                              and settings.chunk % 128 == 0) else "jnp"
 
     @jax.jit
     def render(state: ModelState, frame_z):
         rf = render_frame(state, cfg, frame_z, x_min, y_min, scale,
                           settings, window_cap, mode, None, flip=False,
-                          decoded=decoded)
+                          decoded=decoded, rasterizer=rasterizer)
         rb = render_frame(state, cfg, frame_z, x_min, y_min, scale,
                           settings, window_cap, mode, None, flip=True,
-                          decoded=decoded)
+                          decoded=decoded, rasterizer=rasterizer)
         return (rf.image + rb.image[:, :, ::-1]) / 2.0
 
     return render
