@@ -61,8 +61,8 @@ def main():
     state = update_anchor_bound(state, x_min, y_min, -T / 2 / scale)
 
     window_cap = 16_384
-    settings = make_raster_settings(cfg, H, W, tile_h=16, tile_w=128,
-                                    gaussian_cap=768, chunk=128)
+    settings = make_raster_settings(cfg, H, W, tile_h=8, tile_w=128,
+                                    gaussian_cap=512, chunk=128)
     opt = OptimizationConfig(optical_lambda=0.0)
     rasterizer = "pallas_train" if jax.default_backend() == "tpu" else "jnp"
     step = make_train_step(cfg, settings, window_cap, opt, width=W,

@@ -134,7 +134,10 @@ def main(argv=None):
             fitter.fit(iterations=min(50, cfg.optimization.iterations),
                        log_every=0)
         log.info("profiler trace written to %s", args.profile)
-    report = fitter.fit(eval_every=args.eval_every, rate_log_every=500)
+    report = fitter.fit(eval_every=args.eval_every, rate_log_every=500,
+                        checkpoint_iterations=tuple(
+                            args.checkpoint_iterations),
+                        checkpoint_dir=cfg.pipeline.model_path)
     fitter.save_snapshot(str(pathlib.Path(cfg.pipeline.model_path)
                              / "point_cloud" / "final"))
     for rec in report.history:

@@ -237,7 +237,9 @@ class GOPFitter:
     # -- main loop ---------------------------------------------------------
     def fit(self, iterations: Optional[int] = None,
             eval_every: int = 0, log_every: int = 100,
-            rate_log_every: int = 0) -> FitReport:
+            rate_log_every: int = 0,
+            checkpoint_iterations: tuple = (),
+            checkpoint_dir: Optional[str] = None) -> FitReport:
         opt = self.cfg.optimization
         total = iterations if iterations is not None else opt.iterations
         report = FitReport()
@@ -285,6 +287,13 @@ class GOPFitter:
             if eval_every and it % eval_every == 0:
                 ev = self.evaluate(mode=mode)
                 self.log(f"iter {it}: eval psnr={ev['psnr']:.2f}")
+
+            if checkpoint_dir and it in checkpoint_iterations:
+                from gsvc_tpu.utils.checkpoint import save_checkpoint
+
+                path = f"{checkpoint_dir}/chkpnt{it}.pkl"
+                save_checkpoint(path, self, it)
+                self.log(f"iter {it}: checkpoint saved {path}")
 
             # estimated whole-model rate telemetry (the reference logs this
             # every 100 iters during entropy phases, pipeline/train.py:547)
