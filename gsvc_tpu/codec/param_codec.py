@@ -29,34 +29,34 @@ _MLP_FIELDS = ("mlp_opacity", "mlp_cov", "mlp_color", "mlp_deform",
 
 
 def _quantize_axis(t: np.ndarray, bits: int, axis: int):
-    """Quantize along ``axis`` groups (axis=-1 => whole tensor)."""
+    """Quantize along ``axis`` groups (axis=-1 => whole tensor).
+
+    All arithmetic in float64 with a final float32 cast — the decoder
+    dequantizes in float64, and the replaced live parameters must be
+    BIT-IDENTICAL to what the decoder reconstructs (the entropy-context
+    networks feed the rANS coder on both sides)."""
     valid = t != 0
+    t64 = t.astype(np.float64)
     if axis < 0:
-        groups = [(slice(None),)] if t.ndim == 1 else [tuple([slice(None)] * t.ndim)]
-        t_min = np.zeros(1, np.float32)
-        scale = np.zeros(1, np.float32)
-        q = np.zeros_like(t)
-        sel = valid
-        vals = t[sel]
+        vals = t64[valid]
         if vals.size:
             lo, hi = float(vals.min()), float(vals.max())
         else:
             lo = hi = 0.0
         s = (hi - lo) / (2 ** bits)
-        t_min[0], scale[0] = lo, s
-        q = np.round((t - lo) / (s + 1e-19))
+        q = np.round((t64 - lo) / (s + 1e-19))
         deq = lo + s * q
         new = np.where(valid, deq, 0.0).astype(np.float32)
         return q.astype(np.int64), valid, new, {"t_min": [lo], "scale": [s]}
     # per-group along axis (our Linear weights are [in, out]; quantize per
     # OUTPUT dim, i.e. axis=1 — the reference's per-first-dim on [out, in])
     n = t.shape[axis]
-    q = np.zeros_like(t)
-    new = np.zeros_like(t)
+    q = np.zeros(t.shape, np.float64)
+    new = np.zeros(t.shape, np.float64)
     mins, scales = [], []
     for i in range(n):
         sl = tuple(slice(None) if d != axis else i for d in range(t.ndim))
-        sub = t[sl]
+        sub = t64[sl]
         vals = sub[sub != 0]
         lo, hi = (float(vals.min()), float(vals.max())) if vals.size else (0.0, 0.0)
         s = (hi - lo) / (2 ** bits)

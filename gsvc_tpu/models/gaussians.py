@@ -297,12 +297,13 @@ def get_scaling(anchors: AnchorState, decoded: bool = False):
 
 
 def get_mask(anchors: AnchorState, decoded: bool = False):
-    """Differentiable binary gaussian mask: STE(sigmoid > 0.01)."""
+    """Differentiable binary gaussian mask: STE(sigmoid > 0.01).
+    Forward is EXACTLY {0,1} (see ops/quant._ste on forward exactness)."""
     if decoded:
         return anchors.mask
     s = jax.nn.sigmoid(anchors.mask)
     hard = (s > 0.01).astype(s.dtype)
-    return s + jax.lax.stop_gradient(hard - s)
+    return s - jax.lax.stop_gradient(s) + jax.lax.stop_gradient(hard)
 
 
 def get_mask_anchor(anchors: AnchorState, decoded: bool = False):

@@ -18,19 +18,27 @@ CLAMP_BOUND = 15_000
 
 
 def _ste(value, surrogate):
-    """value in the forward pass, surrogate's gradient in the backward."""
-    return surrogate + jax.lax.stop_gradient(value - surrogate)
+    """EXACTLY ``value`` in the forward pass, surrogate's gradient in the
+    backward.  The textbook ``s + stop_grad(v - s)`` is NOT forward-exact
+    in floating point (s + (v-s) != v); codec bit-exactness requires the
+    ``s - stop_grad(s) + stop_grad(v)`` form whose forward is v exactly."""
+    return (surrogate - jax.lax.stop_gradient(surrogate)
+            + jax.lax.stop_gradient(value))
 
 
 def ste_binary(x: jnp.ndarray) -> jnp.ndarray:
-    """Sign binarization to {-1, +1}; gradient passes only inside [-1, 1].
+    """Sign binarization to EXACTLY {-1, +1}; gradient passes only inside
+    [-1, 1].
 
-    Reference: utils/encodings.py:375-392.
+    Reference: utils/encodings.py:375-392.  Forward exactness matters: the
+    entropy context computed from these embeddings must be bit-identical
+    between the encoder (raw float table) and the decoder (±1 table).
     """
     out = jnp.where(x >= 0, 1.0, -1.0).astype(x.dtype)
     inside = (jnp.abs(x) <= 1.0).astype(x.dtype)
-    # forward: out; backward: identity masked to [-1, 1]
-    return x * inside + jax.lax.stop_gradient(out - x * inside)
+    surrogate = x * inside
+    return (surrogate - jax.lax.stop_gradient(surrogate)
+            + jax.lax.stop_gradient(out))
 
 
 def ste_round(x: jnp.ndarray, q, x_mean=None) -> jnp.ndarray:
