@@ -161,7 +161,8 @@ def _mm(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk):
+def _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk,
+                 compute_dtype="float32"):
     """Shared fwd/bwd per-chunk alpha math.  Returns per-gaussian scalars
     and the [C, P] alpha/diff arrays."""
     (mux_ref, muy_ref, cona_ref, conb_ref, conc_ref, op_ref,
@@ -179,11 +180,25 @@ def _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk):
     pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
     row_valid = pos < count
 
-    d0 = xs - mu_x[:, None]
-    d1 = ys - mu_y[:, None]
-    q = con_a[:, None] * d0 * d0 + 2.0 * con_b[:, None] * d0 * d1 \
-        + con_c[:, None] * d1 * d1
-    alpha_raw = op[:, None] * jnp.exp(-0.5 * q)
+    if compute_dtype == "bfloat16":
+        # bf16 alpha evaluation (the VPU-bound bulk); everything the
+        # transmittance/accumulation touches returns to fp32
+        cd = jnp.bfloat16
+        d0b = xs.astype(cd) - mu_x.astype(cd)[:, None]
+        d1b = ys.astype(cd) - mu_y.astype(cd)[:, None]
+        qb = (con_a.astype(cd)[:, None] * d0b * d0b
+              + 2.0 * con_b.astype(cd)[:, None] * d0b * d1b
+              + con_c.astype(cd)[:, None] * d1b * d1b)
+        alpha_raw = (op.astype(cd)[:, None]
+                     * jnp.exp(-0.5 * qb)).astype(jnp.float32)
+        d0 = d0b.astype(jnp.float32)
+        d1 = d1b.astype(jnp.float32)
+    else:
+        d0 = xs - mu_x[:, None]
+        d1 = ys - mu_y[:, None]
+        q = con_a[:, None] * d0 * d0 + 2.0 * con_b[:, None] * d0 * d1 \
+            + con_c[:, None] * d1 * d1
+        alpha_raw = op[:, None] * jnp.exp(-0.5 * q)
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
     act = row_valid & (alpha >= ALPHA_MIN) & (alpha_raw < ALPHA_MAX)
     alpha = jnp.where(row_valid & (alpha >= ALPHA_MIN), alpha, 0.0)
@@ -216,7 +231,8 @@ def _fwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         tchk_ref[0, c, :] = t_carry[0]
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (_, _, _, _, _, _, col_r, col_g, col_b, _, _, alpha, _) = \
-            _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk)
+            _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk,
+                         settings.compute_dtype)
         one_m = 1.0 - alpha
         excl = _cumprod_excl(one_m, chunk)
         t_before = t_carry * excl
@@ -293,7 +309,8 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         c = jnp.maximum(n_used - 1, 0)
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (_, _, _, _, _, _, _, _, _, _, _, alpha, _) = _chunk_alpha(
-            planes_refs, sl, xs, ys, count, c, chunk)
+            planes_refs, sl, xs, ys, count, c, chunk,
+            settings.compute_dtype)
         one_m = 1.0 - alpha
         t_start = tchk_ref[0, c, :][None, :]
         excl = _cumprod_excl(one_m, chunk)
@@ -310,7 +327,8 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         (mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b,
          d0, d1, alpha, act) = _chunk_alpha(planes_refs, sl, xs, ys, count,
-                                            c, chunk)
+                                            c, chunk,
+                                            settings.compute_dtype)
         one_m_raw = 1.0 - alpha
         t_start = tchk_ref[0, c, :][None, :]
         excl = _cumprod_excl(one_m_raw, chunk)

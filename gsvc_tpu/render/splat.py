@@ -62,6 +62,9 @@ class RasterSettings:
     chunk: int = 64              # gaussians per compositing step
     tiles_per_gaussian: int = 64 # max tile copies emitted per gaussian
     bg: float = 0.0
+    # "bfloat16" runs the Pallas alpha evaluation in bf16 (2x VPU) with
+    # fp32 transmittance/accumulation; ~0.4% alpha error — training only
+    compute_dtype: str = "float32"
 
     @property
     def n_tiles_x(self) -> int:

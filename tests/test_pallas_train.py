@@ -76,3 +76,30 @@ def test_early_saturation_grads_finite():
 
     g = jax.grad(loss)(args[0])
     assert bool(jnp.all(jnp.isfinite(g)))
+
+
+def test_bf16_compute_close_to_fp32():
+    """bf16 alpha path (training fast mode) stays within ~1% of fp32."""
+    from gsvc_tpu.render.splat import RasterSettings
+
+    args = make_scene(m=30, seed=7)
+    s16 = RasterSettings(**{**SETTINGS.__dict__,
+                            "compute_dtype": "bfloat16"})
+    out32 = rasterize_pallas_train(*args, **GEOM, settings=SETTINGS)
+    out16 = rasterize_pallas_train(*args, **GEOM, settings=s16)
+    np.testing.assert_allclose(np.asarray(out16.image),
+                               np.asarray(out32.image), atol=2e-2)
+
+    target = jnp.full((3, SETTINGS.image_height, SETTINGS.image_width), 0.4)
+
+    def loss(settings, xyz):
+        out = rasterize_pallas_train(xyz, *args[1:], **GEOM,
+                                     settings=settings)
+        return jnp.mean((out.image - target) ** 2)
+
+    g32 = jax.grad(lambda x: loss(SETTINGS, x))(args[0])
+    g16 = jax.grad(lambda x: loss(s16, x))(args[0])
+    # gradient direction must agree (training-grade tolerance)
+    cos = float(jnp.sum(g32 * g16)
+                / (jnp.linalg.norm(g32) * jnp.linalg.norm(g16) + 1e-12))
+    assert cos > 0.99, cos
