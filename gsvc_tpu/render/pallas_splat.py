@@ -184,12 +184,14 @@ def _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk,
         # bf16 alpha evaluation (the VPU-bound bulk); everything the
         # transmittance/accumulation touches returns to fp32
         cd = jnp.bfloat16
-        d0b = xs.astype(cd) - mu_x.astype(cd)[:, None]
-        d1b = ys.astype(cd) - mu_y.astype(cd)[:, None]
-        qb = (con_a.astype(cd)[:, None] * d0b * d0b
-              + 2.0 * con_b.astype(cd)[:, None] * d0b * d1b
-              + con_c.astype(cd)[:, None] * d1b * d1b)
-        alpha_raw = (op.astype(cd)[:, None]
+        # expand minor dims in fp32 first: Mosaic only supports no-op
+        # minor-dim insertion for 32-bit types
+        d0b = xs.astype(cd) - mu_x[:, None].astype(cd)
+        d1b = ys.astype(cd) - mu_y[:, None].astype(cd)
+        qb = (con_a[:, None].astype(cd) * d0b * d0b
+              + 2.0 * con_b[:, None].astype(cd) * d0b * d1b
+              + con_c[:, None].astype(cd) * d1b * d1b)
+        alpha_raw = (op[:, None].astype(cd)
                      * jnp.exp(-0.5 * qb)).astype(jnp.float32)
         d0 = d0b.astype(jnp.float32)
         d1 = d1b.astype(jnp.float32)
