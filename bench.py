@@ -1,16 +1,31 @@
 """Benchmark: fused training-step throughput on a 1080p-class GOP fit.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Workload: one full train step = 4 orthographic renders of a 1920x1080
-frame pair + loss + backward + Adam over a 50k-anchor (K=10) model with a
-16k-anchor TSW window — the hot loop of GOP fitting
-(reference: pipeline/train.py:325-581, 40k iterations per fit).
+Primary metric (unchanged workload since round 1 for comparability): one
+full train step = 4 orthographic renders of a 1920x1080 frame pair +
+loss + backward + Adam over a 50k-anchor (K=10) model with a 16k-anchor
+TSW window — the hot loop of GOP fitting (reference:
+pipeline/train.py:325-581, 40k iterations per fit), in FULL_PRECISION
+mode.  ``extra`` adds the two other north-star axes (VERDICT round 1):
+
+  * entropy_it_per_sec — the same step in ENTROPY mode (hash-grid
+    context + three entropy nets + rate terms), the phase that dominates
+    the reference's 40k schedule (20k iterations);
+  * decode_fps — full-frame reconstruction (fwd + flipped view, averaged)
+    with the inference Pallas kernel, the streaming-decode figure
+    (reference: utils/report_utils.py:387-390).
 
 Baseline: the reference publishes no wall-clock numbers (BASELINE.md).
 We use an estimated 6.0 it/s for the reference CUDA pipeline on A100
 (40k-iteration fit in ~1.85 h, typical for Scaffold-GS/HAC-class training
 at 1080p), so vs_baseline = measured_it_per_sec / 6.0.
+
+Round-2 configuration deltas (all validated against fp32/jnp oracles in
+tests/): the pair-batched renderer (one generation per frame, mirror-
+derived flip binning, ONE 4-view Pallas launch), bfloat16 alpha math
+(fp32 transmittance/accumulation; grad cosine > 0.99), and
+tiles_per_gaussian 64->32 (coverage clip is diagnosed via overflow).
 """
 
 from __future__ import annotations
@@ -43,6 +58,8 @@ def main():
     from gsvc_tpu.train.schedules import build_schedules
     from gsvc_tpu.train.trainer import init_stats, make_train_step
 
+    on_tpu = jax.default_backend() == "tpu"
+
     H, W, T = 1080, 1920, 300
     scale = max(H, W, T) / 2
     x_min, y_min = -W / 2 / scale, -H / 2 / scale
@@ -62,9 +79,13 @@ def main():
 
     window_cap = 16_384
     settings = make_raster_settings(cfg, H, W, tile_h=8, tile_w=128,
-                                    gaussian_cap=512, chunk=128)
+                                    gaussian_cap=512, chunk=128,
+                                    tiles_per_gaussian=32)
+    if on_tpu:
+        import dataclasses
+        settings = dataclasses.replace(settings, compute_dtype="bfloat16")
     opt = OptimizationConfig(optical_lambda=0.0)
-    rasterizer = "pallas_train" if jax.default_backend() == "tpu" else "jnp"
+    rasterizer = "pallas_train" if on_tpu else "jnp"
     step = make_train_step(cfg, settings, window_cap, opt, width=W,
                            height=H, scale=scale, x_min=x_min, y_min=y_min,
                            rasterizer=rasterizer)
@@ -78,30 +99,59 @@ def main():
     flow = jnp.zeros((2, H, W), jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    def run_once(state, adam, stats, z):
-        return step(state, adam, stats, lrs, z, z + 1.0 / scale, gt1, gt2,
-                    flow, key, mode=GenerateMode.FULL_PRECISION,
-                    do_stats=False)
+    def timed_phase(mode, iters=10):
+        # the step donates its state args — give each phase its own copies
+        st, ad, sstats = jax.tree.map(jnp.copy, (state, adam, stats))
 
-    # warmup/compile; NOTE: on the axon tunnel block_until_ready is not
-    # reliable — force a host transfer to synchronize
-    state, adam, stats, m = run_once(state, adam, stats, jnp.asarray(0.0))
-    float(np.asarray(m.loss))
+        def run_once(st, ad, sstats, z):
+            return step(st, ad, sstats, lrs, z, z + 1.0 / scale, gt1, gt2,
+                        flow, key, mode=mode, do_stats=False)
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        state, adam, stats, m = run_once(state, adam, stats,
+        # warmup/compile; NOTE: on the axon tunnel block_until_ready is
+        # not reliable — force a host transfer to synchronize
+        st, ad, sstats, m = run_once(st, ad, sstats, jnp.asarray(0.0))
+        float(np.asarray(m.loss))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            st, ad, sstats, m = run_once(st, ad, sstats,
                                          jnp.asarray(0.001 * i))
-    float(np.asarray(m.loss))  # true sync: reads through the full chain
-    dt = time.perf_counter() - t0
+        float(np.asarray(m.loss))  # true sync through the full chain
+        return iters / (time.perf_counter() - t0)
 
-    it_per_sec = iters / dt
+    fp_its = timed_phase(GenerateMode.FULL_PRECISION)
+    entropy_its = timed_phase(GenerateMode.ENTROPY)
+
+    # decode fps: full-frame reconstruction with the inference kernel
+    from gsvc_tpu.render.batched import render_frame_views
+
+    @jax.jit
+    def decode_frame(st, z):
+        img, _, _, _ = render_frame_views(
+            st, cfg, z, x_min, y_min, scale, settings, window_cap,
+            mode=GenerateMode.FULL_PRECISION,
+            rasterizer="pallas" if on_tpu else "jnp", inference=True)
+        return img
+
+    img = decode_frame(state, jnp.asarray(0.0))
+    float(np.asarray(img[0, 0, 0]))
+    n_frames = 10
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        img = decode_frame(state, jnp.asarray(0.001 * i))
+    float(np.asarray(img[0, 0, 0]))
+    decode_fps = n_frames / (time.perf_counter() - t0)
+
     print(json.dumps({
         "metric": "train_iters_per_sec_1080p",
-        "value": round(it_per_sec, 3),
+        "value": round(fp_its, 3),
         "unit": "iter/s",
-        "vs_baseline": round(it_per_sec / BASELINE_ITERS_PER_SEC, 3),
+        "vs_baseline": round(fp_its / BASELINE_ITERS_PER_SEC, 3),
+        "extra": {
+            "entropy_it_per_sec": round(entropy_its, 3),
+            "decode_fps": round(decode_fps, 2),
+            "rasterizer": rasterizer,
+            "compute_dtype": settings.compute_dtype,
+        },
     }))
 
 

@@ -24,6 +24,7 @@ def main(argv=None):
     p.add_argument("--source_path", type=str, default="",
                    help="original frames (optional, for metrics)")
     p.add_argument("--dump_frames", action="store_true")
+    p.add_argument("--lpips_weights", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
@@ -83,10 +84,15 @@ def main(argv=None):
 
     dump = str(pathlib.Path(args.model_path) / "frames") \
         if args.dump_frames else None
+    lpips_w = None
+    if args.lpips_weights:
+        from gsvc_tpu.metrics.lpips import load_lpips_weights
+
+        lpips_w = load_lpips_weights(args.lpips_weights)
     ev = evaluate_video(dec_state, cfg, settings, window_cap, frame_zs,
                         x_min, y_min, scale, gt_images=gt,
                         mode=GenerateMode.DECODED, decoded=True,
-                        dump_dir=dump)
+                        dump_dir=dump, lpips_weights=lpips_w)
     log.info("decode eval: %s", json.dumps(
         {k: v for k, v in ev.items() if not isinstance(v, list)}))
     out = pathlib.Path(args.model_path) / "decode_results.json"

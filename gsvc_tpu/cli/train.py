@@ -85,6 +85,9 @@ def main(argv=None):
     parser.add_argument("--profile", type=str, default=None,
                         help="capture a jax.profiler trace into this dir "
                              "for the first ~50 iterations")
+    parser.add_argument("--lpips_weights", type=str, default=None,
+                        help="npz of VGG16+lin LPIPS weights "
+                             "(scripts/export_lpips_weights.py)")
     parser.add_argument("--gop_size", type=int, default=0,
                         help="split long videos into GOPs of this many "
                              "frames, fitting one model per GOP (the "
@@ -170,18 +173,25 @@ def main(argv=None):
             streams, fitter.gcfg, enc_state, capacity=fitter.capacity)
         log.info("decoded in %.1fs", dec_time)
 
+        lpips_w = None
+        if args.lpips_weights:
+            from gsvc_tpu.metrics.lpips import load_lpips_weights
+
+            lpips_w = load_lpips_weights(args.lpips_weights)
         ev = evaluate_video(
             dec_state, fitter.gcfg, fitter.settings, fitter.window_cap,
             fitter.frame_zs, dataset.x_min, dataset.y_min, dataset.scale,
             gt_images=dataset.images, mode=GenerateMode.DECODED,
-            decoded=True)
-        log.info("decoded eval: psnr=%.2f ssim=%.4f fps=%.1f",
-                 ev.get("psnr", 0), ev.get("ssim", 0), ev["fps"])
+            decoded=True, lpips_weights=lpips_w)
+        log.info("decoded eval: psnr=%.2f ssim=%.4f lpips=%s fps=%.1f",
+                 ev.get("psnr", 0), ev.get("ssim", 0),
+                 ev.get("lpips", "n/a"), ev["fps"])
         results.update(bpp=bpp, encode_seconds=enc_time,
                        decode_seconds=dec_time,
                        decoded_psnr=ev.get("psnr"),
                        decoded_ssim=ev.get("ssim"),
                        decoded_ms_ssim=ev.get("ms_ssim"),
+                       decoded_lpips=ev.get("lpips"),
                        decode_fps=ev["fps"],
                        size_mb=total_bytes / 2 ** 20)
 

@@ -139,20 +139,45 @@ def _z_order_splits(anchors: np.ndarray, interval: float = STREAM_Z_INTERVAL):
     return order, splits
 
 
+CTX_CHUNK = 16_384
+
+
+def _fullset_symbol_ranges(state, cfg, anchors_ordered,
+                           chunk: int = CTX_CHUNK):
+    """(feat, scaling, offsets) symbol clip ranges over the full anchor
+    set, computed in fixed-size context chunks (entropy-context chunking;
+    see conduct_encoding)."""
+    n = anchors_ordered.shape[0]
+    acc = np.zeros((3, 4), np.float64)  # per field: sum_m, n_m, sum_q, n_q
+    for lo in range(0, n, chunk):
+        a = anchors_ordered[lo:min(lo + chunk, n)]
+        ec = jax.device_get(_context_batch(state, cfg, jnp.asarray(a)))
+        fields = ((ec.mean_feat, Q_FEAT * ec.q_feat_adj),
+                  (ec.mean_scaling, Q_SCALING * ec.q_scaling_adj),
+                  (ec.mean_offsets, Q_OFFSETS * ec.q_offsets_adj))
+        for i, (m, q) in enumerate(fields):
+            m = np.asarray(m, np.float64)
+            q = np.asarray(q, np.float64)
+            acc[i] += (m.sum(), m.size, q.sum(), q.size)
+    out = []
+    for i in range(3):
+        c = (acc[i, 0] / acc[i, 1]) / (acc[i, 2] / acc[i, 3])
+        out.append((int(c) - CLAMP_BOUND, int(c) + CLAMP_BOUND))
+    return out
+
+
 def _encode_attribute_batches(state, cfg, anchors_ordered, feat, scaling,
                               offsets, masks, batches, streams, bit_info):
     """Shared batch loop for flat and streaming encoders."""
     k = cfg.n_offsets
 
-    # global symbol ranges from a full-set context pass
-    ec_full = jax.device_get(_context_batch(
-        state, cfg, jnp.asarray(anchors_ordered)))
-    q_feat_full = Q_FEAT * ec_full.q_feat_adj
-    q_scaling_full = Q_SCALING * ec_full.q_scaling_adj
-    q_offsets_full = Q_OFFSETS * ec_full.q_offsets_adj
-    feat_rng = _symbol_range(ec_full.mean_feat, q_feat_full)
-    scaling_rng = _symbol_range(ec_full.mean_scaling, q_scaling_full)
-    offsets_rng = _symbol_range(ec_full.mean_offsets, q_offsets_full)
+    # global symbol clip ranges from a full-set context pass, CHUNKED so
+    # flagship-size models (100k+ anchors) never materialize the whole
+    # hash-interp + entropy-net intermediate at once.  Only scalar means
+    # feed _symbol_range, so float64 sum accumulation is exact enough and
+    # encode-side only (the decoder reads per-batch ranges from meta).
+    feat_rng, scaling_rng, offsets_rng = _fullset_symbol_ranges(
+        state, cfg, anchors_ordered)
 
     batch_ranges = []
     for s, (lo, hi) in enumerate(batches):

@@ -82,27 +82,65 @@ def ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
     return jnp.mean(ssim_map)
 
 
-def _avg_pool2(img):
-    """2x2 average pool on [N, C, H, W]."""
-    h2 = img.shape[2] // 2
-    w2 = img.shape[3] // 2
-    x = img[:, :, :h2 * 2, :w2 * 2]
+def _blur1d_valid(x, g, axis):
+    """Separable 1D gaussian blur, VALID (no padding): output length
+    n - k + 1 along ``axis`` — shift-and-add like _blur1d."""
+    k = g.shape[0]
+    n = x.shape[axis] - k + 1
+    out = None
+    for i in range(k):
+        sl = [slice(None)] * x.ndim
+        sl[axis] = slice(i, i + n)
+        term = float(g[i]) * x[tuple(sl)]
+        out = term if out is None else out + term
+    return out
+
+
+def _ssim_map_valid(img1, img2, window_size=11, sigma=1.5, c1=0.01 ** 2,
+                    c2=0.03 ** 2):
+    g = _gaussian_1d(window_size, sigma)
+
+    def blur(x):
+        return _blur1d_valid(_blur1d_valid(x, g, axis=3), g, axis=2)
+
+    mu1, mu2 = blur(img1), blur(img2)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = blur(img1 * img1) - mu1_sq
+    s2 = blur(img2 * img2) - mu2_sq
+    s12 = blur(img1 * img2) - mu1_mu2
+    cs_map = (2 * s12 + c2) / (s1 + s2 + c2)
+    ssim_map = (2 * mu1_mu2 + c1) / (mu1_sq + mu2_sq + c1) * cs_map
+    return ssim_map, cs_map
+
+
+def _avg_pool2_padded(img):
+    """2x2/stride-2 average pool with odd-side zero padding that COUNTS
+    the pad in the divisor — the exact pytorch_msssim downsampling
+    (F.avg_pool2d(kernel_size=2, padding=s%2, count_include_pad=True))."""
+    ph, pw = img.shape[2] % 2, img.shape[3] % 2
+    x = jnp.pad(img, ((0, 0), (0, 0), (ph, ph), (pw, pw)))
+    h2 = x.shape[2] // 2
+    w2 = x.shape[3] // 2
+    x = x[:, :, :h2 * 2, :w2 * 2]
     x = x.reshape(img.shape[0], img.shape[1], h2, 2, w2, 2)
     return jnp.mean(x, axis=(3, 5))
 
 
 def ms_ssim(img1, img2, window_size: int = 11, sigma: float = 1.5):
-    """5-scale MS-SSIM; inputs should be at least 160px in each dimension."""
+    """5-scale MS-SSIM, algorithm-exact to pytorch_msssim (the library the
+    reference reports with, utils/metric_utils.py:6): VALID-padding
+    gaussian filtering, relu-clamped per-level cs, odd-padded 2x2 average
+    pooling between levels.  Inputs >= 176 px per dimension."""
     img1 = _ensure_nchw(img1)
     img2 = _ensure_nchw(img2)
     levels = len(_MS_WEIGHTS)
     mcs = []
     for i in range(levels):
-        ssim_map, cs_map = _ssim_map(img1, img2, window_size, sigma)
+        ssim_map, cs_map = _ssim_map_valid(img1, img2, window_size, sigma)
         if i < levels - 1:
             mcs.append(jnp.maximum(jnp.mean(cs_map), 0.0))
-            img1 = _avg_pool2(img1)
-            img2 = _avg_pool2(img2)
+            img1 = _avg_pool2_padded(img1)
+            img2 = _avg_pool2_padded(img2)
         else:
             final_ssim = jnp.maximum(jnp.mean(ssim_map), 0.0)
     result = final_ssim ** _MS_WEIGHTS[-1]

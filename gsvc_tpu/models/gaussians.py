@@ -165,6 +165,11 @@ class RatePack(NamedTuple):
     bit_per_feat_param: jnp.ndarray
     bit_per_scaling_param: jnp.ndarray
     bit_per_offsets_param: jnp.ndarray
+    # raw sums + denominators so sharded training can psum them and form
+    # COUNT-WEIGHTED global rates (a pmean of per-slab ratios would weight
+    # unbalanced z-slabs equally — a biased rate gradient)
+    bits_total: jnp.ndarray = jnp.zeros(())
+    params_total: jnp.ndarray = jnp.zeros(())
 
 
 class GeneratedGaussians(NamedTuple):
@@ -190,19 +195,22 @@ def mean_nn3_distance(points: np.ndarray, sample: int = 4096) -> np.ndarray:
     """Mean squared distance to 3 nearest neighbors, per point.
 
     Replaces simple-knn ``distCUDA2`` (vendored simple-knn.zip; used at
-    scene/gaussian_model.py:762,784 for scale init).  One-shot at init, so
-    a tiled exact top-k in NumPy is plenty.
-    """
-    n = points.shape[0]
-    out = np.empty((n,), np.float32)
-    for s in range(0, n, sample):
-        chunk = points[s:s + sample]
-        d2 = ((chunk[:, None, :] - points[None, :, :]) ** 2).sum(-1)
-        idx = np.argpartition(d2, 3, axis=1)[:, :4]
-        vals = np.take_along_axis(d2, idx, axis=1)
-        vals.sort(axis=1)
-        out[s:s + sample] = vals[:, 1:4].mean(axis=1)  # skip self (d=0)
-    return out
+    scene/gaussian_model.py:762,784 for scale init).  Exact 3-NN via a
+    k-d tree: O(N log N) host-side, so the reference's 100k-anchor init
+    takes well under a second (the previous tiled all-pairs scan was
+    O(N^2) — minutes at 100k on a 1-core host)."""
+    from scipy.spatial import cKDTree
+
+    pts = np.asarray(points, np.float64)
+    if pts.shape[0] <= 4:
+        n = pts.shape[0]
+        if n < 2:
+            return np.full((n,), 1e-6, np.float32)
+        d2 = ((pts[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        d2.sort(axis=1)
+        return d2[:, 1:min(4, n)].mean(axis=1).astype(np.float32)
+    dist, _ = cKDTree(pts).query(pts, k=4, workers=-1)
+    return (dist[:, 1:4] ** 2).mean(axis=1).astype(np.float32)
 
 
 def init_model(key, cfg: GaussianConfig, points: np.ndarray, capacity: int,
@@ -411,13 +419,16 @@ def _rate_from_context(cfg, feat, scaling, offsets, masks, ec: EntropyContext,
     n_feat = n_vis * cfg.feat_dim
     n_scaling = n_vis * 6
     n_offsets_ = n_vis * 3 * k
-    bpf = jnp.sum(bits_feat) / n_feat
-    bps = jnp.sum(bits_scaling) / n_scaling
-    bpo = jnp.sum(bits_offsets) / n_offsets_
-    bpp = (jnp.sum(bits_feat) + jnp.sum(bits_scaling) + jnp.sum(bits_offsets)) \
-        / (n_feat + n_scaling + n_offsets_)
-    return RatePack(bit_per_param=bpp, bit_per_feat_param=bpf,
-                    bit_per_scaling_param=bps, bit_per_offsets_param=bpo)
+    sum_feat = jnp.sum(bits_feat)
+    sum_scaling = jnp.sum(bits_scaling)
+    sum_offsets = jnp.sum(bits_offsets)
+    bits_total = sum_feat + sum_scaling + sum_offsets
+    params_total = n_feat + n_scaling + n_offsets_
+    return RatePack(bit_per_param=bits_total / params_total,
+                    bit_per_feat_param=sum_feat / n_feat,
+                    bit_per_scaling_param=sum_scaling / n_scaling,
+                    bit_per_offsets_param=sum_offsets / n_offsets_,
+                    bits_total=bits_total, params_total=params_total)
 
 
 def generate_neural_gaussians(

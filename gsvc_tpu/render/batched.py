@@ -1,0 +1,236 @@
+"""Batched frame-pair rendering — the training-step fast path.
+
+One train step renders 4 views: two frames x two view directions
+(reference: pipeline/train.py:325-581 issues 4 separate CUDA render
+calls).  This module restructures that for the TPU:
+
+  * **one neural-gaussian generation per frame** (2, not 4): the forward
+    and x-flipped views of a frame see the same gaussians — only the
+    projection differs.  In ENTROPY phases this also halves the hash-grid
+    + entropy-net work (and shares the quantization noise between the two
+    views of a frame; same expectation, decode-consistent).
+  * **one projection + binning per frame**: the flip view's tile lists
+    are the exact mirror of the forward view's.  With
+    ``image_width == n_tiles_x * tile_w`` the screen mirror
+    ``px' = (W-1) - px`` maps tiles to tiles, so the flip planes are a
+    [T, cap] permutation (mirror tiles, reverse depth order within the
+    per-tile count) plus ``mux' = (W-1) - mux`` and ``conic_b' = -b`` —
+    no second device-wide sort.  (When a tile overflows ``gaussian_cap``
+    the mirrored list keeps the forward view's front-most subset; the
+    overflow counter flags that regime.)
+  * **one compositing launch for all 4 views**: planes are concatenated
+    to [4T, cap] and run through a single Pallas (or jnp) grid.
+
+Everything is differentiable: the mirror transform is gathers/negation,
+so gradients flow back through the single projection; per-view means2d
+tensors are injected at plane level for densification statistics.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gsvc_tpu.models.gaussians import (
+    GaussianConfig, GeneratedGaussians, GenerateMode, ModelState,
+    generate_neural_gaussians, window_for_frame,
+)
+from gsvc_tpu.render.pipeline import RenderResults
+from gsvc_tpu.render.splat import (
+    RasterSettings, _bin_gaussians, assemble_views, composite_tiles_jnp,
+    gather_tile_planes, project_gaussians,
+)
+
+
+def _mirror_tile_perm(settings: RasterSettings) -> np.ndarray:
+    """Static [n_tiles] permutation mapping tile t to its x-mirror."""
+    ty = np.arange(settings.n_tiles) // settings.n_tiles_x
+    tx = np.arange(settings.n_tiles) % settings.n_tiles_x
+    return (ty * settings.n_tiles_x
+            + (settings.n_tiles_x - 1 - tx)).astype(np.int32)
+
+
+def can_mirror(settings: RasterSettings) -> bool:
+    """The plane-level mirror is exact only when the tiled span equals the
+    image width (px' = (W-1) - px maps tile columns onto tile columns)."""
+    return settings.image_width == settings.n_tiles_x * settings.tile_w
+
+
+def flip_planes_from_forward(planes, tile_lists, tile_counts,
+                             settings: RasterSettings,
+                             means2d_flip: Optional[jnp.ndarray] = None):
+    """Derive the x-flipped view's [T, cap] planes from the forward ones.
+
+    Steps: mirror the tile axis, reverse each tile's depth order within
+    its count (flip reverses compositing order), mirror the x means, and
+    negate the conic cross term.  ``means2d_flip`` ([M, 2], normally a
+    zeros tensor) is added in the flip view's own screen coordinates so
+    its cotangent carries that view's densification screen-gradients."""
+    perm = jnp.asarray(_mirror_tile_perm(settings))
+    counts_f = tile_counts[perm]
+    lists_m = tile_lists[perm]
+    cap = settings.gaussian_cap
+    j = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    rev = jnp.where(j < counts_f[:, None], counts_f[:, None] - 1 - j, j)
+
+    def rev_take(p):
+        return jnp.take_along_axis(p[perm], rev, axis=1)
+
+    mux, muy, ca, cb, cc, op, cr, cg, c_b = (rev_take(p) for p in planes)
+    w_span = settings.n_tiles_x * settings.tile_w
+    mux = (w_span - 1) - mux
+    cb = -cb
+    if means2d_flip is not None:
+        ids = jnp.take_along_axis(lists_m, rev, axis=1)
+        safe = jnp.maximum(ids, 0)
+        keep = ids >= 0
+        mux = mux + jnp.where(keep, means2d_flip[:, 0][safe], 0.0)
+        muy = muy + jnp.where(keep, means2d_flip[:, 1][safe], 0.0)
+    return (mux, muy, ca, cb, cc, op, cr, cg, c_b), counts_f
+
+
+def _frame_views(gss: GeneratedGaussians, frame_z, x_min, y_min, scale,
+                 settings: RasterSettings, m2d_fwd, m2d_flip):
+    """(planes, counts) for the forward and flip views of one frame, plus
+    the forward projection (radii are mirror-invariant)."""
+    proj = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
+                             frame_z, x_min, y_min, scale, settings,
+                             flip=False, means2d=m2d_fwd)
+    opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
+    tile_lists, counts, overflow, n_rendered = _bin_gaussians(proj, settings)
+    planes_f = gather_tile_planes(proj, opacity, gss.color, tile_lists)
+
+    if can_mirror(settings):
+        planes_b, counts_b = flip_planes_from_forward(
+            planes_f, tile_lists, counts, settings, m2d_flip)
+    else:
+        # image width not tile-aligned: mirror is inexact -> bin the flip
+        # view independently (second sort, still one composite launch)
+        proj_b = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
+                                   frame_z, x_min, y_min, scale, settings,
+                                   flip=True, means2d=m2d_flip)
+        opacity_b = jnp.where(proj_b.valid[:, None], gss.opacity, 0.0)
+        lists_b, counts_b, ovf_b, _ = _bin_gaussians(proj_b, settings)
+        planes_b = gather_tile_planes(proj_b, opacity_b, gss.color, lists_b)
+        overflow = overflow + ovf_b
+    return planes_f, counts, planes_b, counts_b, proj, overflow, n_rendered
+
+
+def _composite_concat(settings, planes_all, counts_all, rasterizer: str,
+                      inference: bool):
+    """Dispatch concatenated-view planes to a compositor; assemble."""
+    if rasterizer in ("pallas", "pallas_train"):
+        from gsvc_tpu.render.pallas_splat import (
+            composite_tiles_inference, pallas_tile_composite,
+        )
+
+        if inference:
+            out4 = composite_tiles_inference(settings, planes_all,
+                                             counts_all)
+        else:
+            out4 = pallas_tile_composite(settings, planes_all, counts_all)
+    else:
+        out4 = composite_tiles_jnp(settings, planes_all, counts_all)
+    return assemble_views(settings, out4)
+
+
+def render_frame_views(state: ModelState, cfg: GaussianConfig, frame_z,
+                       x_min, y_min, scale, settings: RasterSettings,
+                       window_cap: int,
+                       mode: GenerateMode = GenerateMode.FULL_PRECISION,
+                       key: Optional[jax.Array] = None,
+                       rasterizer: str = "jnp", decoded: bool = False,
+                       inference: bool = False):
+    """Full-frame reconstruction: forward + flipped view of ONE frame with
+    shared generation and a single 2-view composite launch — the
+    decode/eval fast path (reference: report_utils.py:412-447).
+
+    Returns (averaged image [3,H,W], images [2,3,H,W], ts [2,H,W], aux)
+    where aux carries (gss, window_start, in_window, radii, overflow)."""
+    start, in_window = window_for_frame(state, cfg, frame_z, window_cap)
+    gss = generate_neural_gaussians(
+        state, cfg, frame_z=frame_z, cam_z=frame_z, window_start=start,
+        in_window=in_window, cap=window_cap, mode=mode, key=key,
+        decoded=decoded)
+    pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
+        gss, frame_z, x_min, y_min, scale, settings, None, None)
+    planes_all = tuple(jnp.concatenate([pf[i], pb[i]], axis=0)
+                       for i in range(9))
+    counts_all = jnp.concatenate([cf, cb_], axis=0)
+    images, ts = _composite_concat(settings, planes_all, counts_all,
+                                   rasterizer, inference)
+    avg = (images[0] + images[1][:, :, ::-1]) / 2.0
+    aux = (gss, start, in_window, proj.radius, ovf, nrend)
+    return avg, images, ts, aux
+
+
+class PairRender(NamedTuple):
+    """All four views of a frame pair, composited in one launch."""
+
+    images: jnp.ndarray          # [4, 3, H, W]: f1 fwd, f1 flip, f2 fwd, f2 flip
+    transmittances: jnp.ndarray  # [4, H, W]
+    renders: tuple               # 4x RenderResults (views of a frame share
+                                 # generation, radii, window and rate)
+
+
+def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
+                x_min, y_min, scale, settings: RasterSettings,
+                window_cap: int, mode: GenerateMode,
+                key: Optional[jax.Array], rasterizer: str = "jnp",
+                means2d: Optional[jnp.ndarray] = None,
+                decoded: bool = False) -> PairRender:
+    """Render both frames of a training pair in both view directions.
+
+    ``means2d``: optional [4, M, 2] zeros whose cotangents carry the
+    per-view screen gradients (densification statistics)."""
+    if key is not None:
+        k1, k2 = jax.random.split(key)
+    else:
+        k1 = k2 = None
+    m2 = (lambda i: means2d[i]) if means2d is not None else (lambda i: None)
+
+    frames = []
+    for z, k, mi in ((z1, k1, 0), (z2, k2, 2)):
+        start, in_window = window_for_frame(state, cfg, z, window_cap)
+        gss = generate_neural_gaussians(
+            state, cfg, frame_z=z, cam_z=z, window_start=start,
+            in_window=in_window, cap=window_cap, mode=mode, key=k,
+            decoded=decoded)
+        pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
+            gss, z, x_min, y_min, scale, settings, m2(mi), m2(mi + 1))
+        frames.append((gss, start, in_window, pf, cf, pb, cb_, proj,
+                       ovf, nrend))
+
+    planes_all = tuple(
+        jnp.concatenate([frames[0][3][i], frames[0][5][i],
+                         frames[1][3][i], frames[1][5][i]], axis=0)
+        for i in range(9))
+    counts_all = jnp.concatenate(
+        [frames[0][4], frames[0][6], frames[1][4], frames[1][6]], axis=0)
+    images, ts = _composite_concat(settings, planes_all, counts_all,
+                                   rasterizer, inference=False)
+
+    renders = []
+    for fi, vi in ((0, 0), (0, 1), (1, 2), (1, 3)):
+        gss, start, in_window, _, _, _, _, proj, ovf, nrend = frames[fi]
+        renders.append(RenderResults(
+            image=images[vi],
+            transmittance=ts[vi],
+            window_start=start,
+            in_window=in_window,
+            radii=proj.radius,
+            visibility_filter=proj.radius > 0,
+            selection_mask=gss.valid,
+            neural_opacity=gss.neural_opacity,
+            scaling=gss.scaling,
+            num_rendered=nrend,
+            overflow=ovf,
+            rate=gss.rate,
+            gaussians=gss,
+        ))
+    return PairRender(images=images, transmittances=ts,
+                      renders=tuple(renders))

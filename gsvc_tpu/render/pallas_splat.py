@@ -1,21 +1,45 @@
-"""Pallas TPU kernel for tile compositing — the inference fast path.
+"""Pallas TPU kernels for tile compositing — the rasterizer hot path.
 
 The pure-JAX compositor (splat.py) processes every (tile, chunk) pair;
 XLA cannot skip work per tile because ``vmap`` lowers ``cond`` to
-``select``.  This kernel runs one grid step per tile with a real
-``while_loop`` over gaussian chunks, so a tile stops as soon as
-
-  * its binned gaussian list is exhausted, or
-  * every pixel's transmittance has saturated (< T_EPS).
+``select``.  These kernels run one grid step per tile with a real
+``while_loop`` over gaussian chunks, so a tile stops as soon as its
+binned gaussian list is exhausted or every pixel's transmittance has
+saturated (< T_EPS).
 
 All per-gaussian data is pre-gathered in XLA (one fused gather) into
 struct-of-arrays [n_tiles, cap] planes — scalar-per-gaussian layout keeps
 every VMEM block (cap,)-wide on the lane dimension (a [cap, 2/3] layout
 would pad lanes 64x).  BlockSpecs stream one tile's rows per grid step.
+The grid may be a multiple of ``settings.n_tiles``: callers batch V views
+(two frames x two flip directions of a train step) by concatenating
+planes to [V*T, cap] and compositing them in ONE kernel launch; tile
+pixel coordinates derive from ``program_id % n_tiles``.
 
-Used by the decode/eval path (rasterize with grad=False); training keeps
-the differentiable jnp compositor until the custom-VJP backward kernel
-lands.
+Kernel design notes (v2 — the round-2 performance rewrite):
+
+  * per-gaussian color accumulation and the backward's nine per-gaussian
+    reductions run on the MXU:  ``acc += Cols[3,C] @ w[C,P]`` forward, and
+    backward conic/mean gradients come from six pixel-basis moments
+    ``M = dq[C,P] @ B6[P-basis]`` followed by O(C) algebra — instead of
+    nine [C,P] elementwise products + lane reductions.
+  * validity is implicit: padding rows carry opacity 0, so no per-chunk
+    row-mask is materialized.
+  * the per-pixel transmittance carry is updated with the UNMASKED chunk
+    product (one row of the inclusive cumprod that the compositing needs
+    anyway).  This differs from the jnp compositor only on pixels whose
+    transmittance is already < T_EPS = 1e-4; since sum(alpha_i * T_i) <=
+    T_start, any image deviation is bounded by T_EPS.  The per-gaussian
+    contribution w is still gated by ``live`` for gradient parity.
+  * ``compute_dtype="bfloat16"`` evaluates the alpha math (the VPU-bound
+    bulk) in bf16 with fp32 transmittance/accumulation.  Pixel deltas are
+    computed ``subtract-then-cast`` in tile-LOCAL coordinates so bf16
+    never quantizes absolute pixel positions (at x~1900 a bf16 ulp is
+    8 px; tile-local deltas keep the ulp below 1/2 px at radius 128).
+
+Replaces the reference's CUDA rasterizer backward
+(diff_gaussian_rasterization, driven from ortho_gaussian_renderer/
+renderer.py:63-98); the binning/projection stay in XLA (splat.py).
 """
 
 from __future__ import annotations
@@ -29,146 +53,80 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gsvc_tpu.render.splat import (
     ALPHA_MAX, ALPHA_MIN, T_EPS, RasterOutput, RasterSettings,
-    _bin_gaussians, project_gaussians,
+    _bin_gaussians, assemble_views, gather_tile_planes, project_gaussians,
 )
 
 
-def _composite_kernel(count_ref, mux_ref, muy_ref, cona_ref, conb_ref,
-                      conc_ref, op_ref, colr_ref, colg_ref, colb_ref,
-                      out_ref, *, settings: RasterSettings):
-    th, tw = settings.tile_h, settings.tile_w
-    p = th * tw
-    chunk = settings.chunk
-    n_chunks = settings.gaussian_cap // chunk
-
-    tile_id = pl.program_id(0)
-    tile_x = tile_id % settings.n_tiles_x
-    tile_y = tile_id // settings.n_tiles_x
-    # count_ref is the scalar-prefetch [n_tiles] array (SMEM)
-    count = count_ref[tile_id]
-
-    px0 = (tile_x * tw).astype(jnp.float32)
-    py0 = (tile_y * th).astype(jnp.float32)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    xs = px0 + (lin % tw).astype(jnp.float32)
-    ys = py0 + (lin // tw).astype(jnp.float32)
-
-    def body(state):
-        c, t_carry, acc_r, acc_g, acc_b = state
-        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
-        mu_x = mux_ref[0, 0, sl]       # [C]
-        mu_y = muy_ref[0, 0, sl]
-        con_a = cona_ref[0, 0, sl]
-        con_b = conb_ref[0, 0, sl]
-        con_c = conc_ref[0, 0, sl]
-        op = op_ref[0, 0, sl]
-        col_r = colr_ref[0, 0, sl]
-        col_g = colg_ref[0, 0, sl]
-        col_b = colb_ref[0, 0, sl]
-
-        pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-        row_valid = pos < count        # [C, 1]
-
-        d0 = xs - mu_x[:, None]        # [C, P]
-        d1 = ys - mu_y[:, None]
-        q = con_a[:, None] * d0 * d0 + 2.0 * con_b[:, None] * d0 * d1 \
-            + con_c[:, None] * d1 * d1
-        alpha = jnp.minimum(op[:, None] * jnp.exp(-0.5 * q), ALPHA_MAX)
-        alpha = jnp.where(row_valid & (alpha >= ALPHA_MIN), alpha, 0.0)
-
-        one_m = 1.0 - alpha
-        excl = _cumprod_excl(one_m, chunk)
-        t_before = t_carry * excl                    # [C, P]
-        live = t_before >= T_EPS
-        w = jnp.where(live, alpha * t_before, 0.0)
-
-        acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0, keepdims=True)
-        acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0, keepdims=True)
-        acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0, keepdims=True)
-        t_carry = t_carry * _masked_prod(one_m, live, chunk)
-        return c + 1, t_carry, acc_r, acc_g, acc_b
-
-    def cond(state):
-        c, t_carry, *_ = state
-        more_gaussians = c * chunk < count
-        any_live = jnp.max(t_carry) >= T_EPS
-        return jnp.logical_and(c < n_chunks,
-                               jnp.logical_and(more_gaussians, any_live))
-
-    t0 = jnp.ones((1, p), jnp.float32)
-    z = jnp.zeros((1, p), jnp.float32)
-    _, t_final, acc_r, acc_g, acc_b = jax.lax.while_loop(
-        cond, body, (0, t0, z, z, z))
-
-    bg = settings.bg
-    out_ref[0, 0, :] = (acc_r + t_final * bg)[0]
-    out_ref[0, 1, :] = (acc_g + t_final * bg)[0]
-    out_ref[0, 2, :] = (acc_b + t_final * bg)[0]
-    out_ref[0, 3, :] = t_final[0]
-
-
 # ---------------------------------------------------------------------------
-# Differentiable pallas compositing (custom VJP): forward kernel saves the
-# per-chunk transmittance checkpoints; the backward kernel replays chunks in
-# REVERSE with a suffix accumulator (the classic splatting backward), all in
-# VMEM.  Gradients land on the gathered planes; XLA's gather-transpose
-# scatter-adds them back to per-gaussian arrays.
+# In-kernel helpers
 # ---------------------------------------------------------------------------
-
-def _tri_excl_lower(chunk):
-    # int32 iota: Mosaic rejects float-typed tpu.iota
-    return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
-            > jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
-            ).astype(jnp.float32)
-
 
 def _tri_excl_upper(chunk):
+    # int32 iota: Mosaic rejects float-typed tpu.iota
     return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
             < jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
             ).astype(jnp.float32)
 
 
-def _cumprod_incl(x, chunk):
-    """Inclusive prefix product along the chunk (sublane) axis via
-    Hillis-Steele doubling — log2(C) roll+multiply steps, no
-    transcendentals (vs log/matmul/exp)."""
-    rows = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
-    d = 1
-    while d < chunk:
-        shifted = pltpu.roll(x, d, axis=0)
-        x = x * jnp.where(rows < d, 1.0, shifted)
-        d *= 2
-    return x
+def _tri_excl_lower(chunk):
+    return (jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 0)
+            > jax.lax.broadcasted_iota(jnp.int32, (chunk, chunk), 1)
+            ).astype(jnp.float32)
 
 
-def _cumprod_excl(one_m, chunk):
-    rows = jax.lax.broadcasted_iota(jnp.int32, one_m.shape, 0)
-    incl = _cumprod_incl(one_m, chunk)
-    excl = pltpu.roll(incl, 1, axis=0)
-    return jnp.where(rows < 1, 1.0, excl)
+def _trans_chunk(alpha32, chunk):
+    """In-chunk transmittance factors from fp32 alpha.
 
-
-def _masked_prod(vals, mask, chunk):
-    """prod over the chunk axis of where(mask, vals, 1) — reduce_prod has
-    no Pallas lowering, so take the last row of the inclusive scan."""
-    m = jnp.where(mask, vals, 1.0)
-    incl = _cumprod_incl(m, chunk)
-    return incl[chunk - 1:chunk, :]
+    Returns (excl [C,P]: prod_{j<i}(1-alpha_j), chunk_total [1,P]).
+    Log-space with the exclusive cumsum as a strictly-lower-triangular
+    matmul: 2 transcendental passes + one MXU op, versus log2(C)
+    roll+mul+select rounds for a direct Hillis-Steele cumprod (and
+    Mosaic's rotate has no sub-32-bit support anyway).  ALPHA_MAX = 0.99
+    bounds log1p at ~-4.6, so the [C,P] sums stay well-conditioned."""
+    l = jnp.log1p(-alpha32)                       # [C, P]
+    s_excl = _mm(_tri_excl_lower(chunk), l)       # MXU exclusive cumsum
+    excl = jnp.exp(s_excl)
+    total = jnp.sum(l, axis=0, keepdims=True)     # [1, P]
+    return excl, jnp.exp(total)
 
 
 def _mm(a, b):
+    """[M,K] @ [K,N] on the MXU, f32 accumulation."""
     return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
 
 
-def _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk,
-                 compute_dtype="float32"):
-    """Shared fwd/bwd per-chunk alpha math.  Returns per-gaussian scalars
-    and the [C, P] alpha/diff arrays."""
+def _mm_rhs_t(a, b):
+    """[M,K] @ [N,K]^T -> [M,N] (contract both minor dims) on the MXU."""
+    return jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def _tile_coords(settings: RasterSettings):
+    """(xs_local[1,P], ys_local[1,P], cx, cy) for the current grid step.
+
+    Coordinates are TILE-CENTERED: the alpha math and the backward moment
+    basis work entirely in local coordinates, which keeps magnitudes
+    ~tile-sized (precision: bf16 deltas, fp32 moment cancellation)."""
+    th, tw = settings.tile_h, settings.tile_w
+    p = th * tw
+    tile_id = pl.program_id(0) % settings.n_tiles
+    tile_x = tile_id % settings.n_tiles_x
+    tile_y = tile_id // settings.n_tiles_x
+    cx = (tile_x * tw).astype(jnp.float32) + (tw - 1) / 2.0
+    cy = (tile_y * th).astype(jnp.float32) + (th - 1) / 2.0
+    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    xs = (lin % tw).astype(jnp.float32) - (tw - 1) / 2.0
+    ys = (lin // tw).astype(jnp.float32) - (th - 1) / 2.0
+    return xs, ys, cx, cy
+
+
+def _chunk_scalars(planes_refs, sl, cx, cy):
+    """Load one chunk's per-gaussian scalars; means shifted tile-local."""
     (mux_ref, muy_ref, cona_ref, conb_ref, conc_ref, op_ref,
      colr_ref, colg_ref, colb_ref) = planes_refs
-    mu_x = mux_ref[0, 0, sl]
-    mu_y = muy_ref[0, 0, sl]
+    mu_x = mux_ref[0, 0, sl] - cx          # [C] tile-local
+    mu_y = muy_ref[0, 0, sl] - cy
     con_a = cona_ref[0, 0, sl]
     con_b = conb_ref[0, 0, sl]
     con_c = conc_ref[0, 0, sl]
@@ -176,202 +134,206 @@ def _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk,
     col_r = colr_ref[0, 0, sl]
     col_g = colg_ref[0, 0, sl]
     col_b = colb_ref[0, 0, sl]
+    return mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b
 
-    pos = c * chunk + jax.lax.broadcasted_iota(jnp.int32, (chunk, 1), 0)
-    row_valid = pos < count
 
+def _chunk_alpha(scalars, xs, ys, compute_dtype):
+    """[C,P] alpha evaluation.  Returns (alpha [C,P] compute-dtype with
+    MIN/MAX clamps applied, act [C,P] bool gradient gate).
+
+    Validity is implicit: padding/invalid rows have op == 0 -> alpha 0.
+    bf16 mode: subtract in fp32, THEN cast the (small, tile-local) deltas.
+    """
+    mu_x, mu_y, con_a, con_b, con_c, op = scalars[:6]
+    d0f = xs - mu_x[:, None]                      # [C, P] fp32
+    d1f = ys - mu_y[:, None]
     if compute_dtype == "bfloat16":
-        # bf16 alpha evaluation (the VPU-bound bulk); everything the
-        # transmittance/accumulation touches returns to fp32
+        # bf16 for the quadratic-form + exp bulk; comparisons/clamps in
+        # fp32 (Mosaic has no sub-32-bit cmpf)
         cd = jnp.bfloat16
-        # expand minor dims in fp32 first: Mosaic only supports no-op
-        # minor-dim insertion for 32-bit types
-        d0b = xs.astype(cd) - mu_x[:, None].astype(cd)
-        d1b = ys.astype(cd) - mu_y[:, None].astype(cd)
-        qb = (con_a[:, None].astype(cd) * d0b * d0b
-              + 2.0 * con_b[:, None].astype(cd) * d0b * d1b
-              + con_c[:, None].astype(cd) * d1b * d1b)
+        d0 = d0f.astype(cd)
+        d1 = d1f.astype(cd)
+        a = con_a[:, None].astype(cd)
+        b = con_b[:, None].astype(cd)
+        c = con_c[:, None].astype(cd)
+        q = a * d0 * d0 + 2.0 * b * d0 * d1 + c * d1 * d1
         alpha_raw = (op[:, None].astype(cd)
-                     * jnp.exp(-0.5 * qb)).astype(jnp.float32)
-        d0 = d0b.astype(jnp.float32)
-        d1 = d1b.astype(jnp.float32)
+                     * jnp.exp(-0.5 * q)).astype(jnp.float32)
     else:
-        d0 = xs - mu_x[:, None]
-        d1 = ys - mu_y[:, None]
-        q = con_a[:, None] * d0 * d0 + 2.0 * con_b[:, None] * d0 * d1 \
-            + con_c[:, None] * d1 * d1
+        q = (con_a[:, None] * d0f * d0f
+             + 2.0 * con_b[:, None] * d0f * d1f
+             + con_c[:, None] * d1f * d1f)
         alpha_raw = op[:, None] * jnp.exp(-0.5 * q)
     alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
-    act = row_valid & (alpha >= ALPHA_MIN) & (alpha_raw < ALPHA_MAX)
-    alpha = jnp.where(row_valid & (alpha >= ALPHA_MIN), alpha, 0.0)
-    return (mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b,
-            d0, d1, alpha, act)
+    ge_min = alpha >= ALPHA_MIN
+    alpha = jnp.where(ge_min, alpha, 0.0)
+    act = ge_min & (alpha_raw < ALPHA_MAX)
+    return alpha, act, d0f, d1f
 
 
-def _fwd_train_kernel(count_ref, *refs, settings: RasterSettings):
+# ---------------------------------------------------------------------------
+# Forward kernel (shared: inference and training; training also saves the
+# per-chunk transmittance checkpoints for the backward replay)
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool):
     planes_refs = refs[:9]
-    out_ref, tchk_ref = refs[9], refs[10]
-    th, tw = settings.tile_h, settings.tile_w
-    p = th * tw
+    out_ref = refs[9]
+    tchk_ref = refs[10] if save_tchk else None
+    p = settings.tile_h * settings.tile_w
     chunk = settings.chunk
     n_chunks = settings.gaussian_cap // chunk
-
-    tile_id = pl.program_id(0)
-    tile_x = tile_id % settings.n_tiles_x
-    tile_y = tile_id // settings.n_tiles_x
-    count = count_ref[tile_id]
-
-    px0 = (tile_x * tw).astype(jnp.float32)
-    py0 = (tile_y * th).astype(jnp.float32)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    xs = px0 + (lin % tw).astype(jnp.float32)
-    ys = py0 + (lin // tw).astype(jnp.float32)
-    tri = _tri_excl_lower(chunk)
+    count = count_ref[pl.program_id(0)]
+    xs, ys, cx, cy = _tile_coords(settings)
 
     def body(state):
-        c, t_carry, acc_r, acc_g, acc_b = state
-        tchk_ref[0, c, :] = t_carry[0]
+        c, t_carry, acc = state
+        if save_tchk:
+            tchk_ref[0, c, :] = t_carry[0]
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
-        (_, _, _, _, _, _, col_r, col_g, col_b, _, _, alpha, _) = \
-            _chunk_alpha(planes_refs, sl, xs, ys, count, c, chunk,
-                         settings.compute_dtype)
-        one_m = 1.0 - alpha
-        excl = _cumprod_excl(one_m, chunk)
-        t_before = t_carry * excl
-        live = t_before >= T_EPS
-        w = jnp.where(live, alpha * t_before, 0.0)
-        acc_r = acc_r + jnp.sum(w * col_r[:, None], axis=0, keepdims=True)
-        acc_g = acc_g + jnp.sum(w * col_g[:, None], axis=0, keepdims=True)
-        acc_b = acc_b + jnp.sum(w * col_b[:, None], axis=0, keepdims=True)
-        t_carry = t_carry * _masked_prod(one_m, live, chunk)
-        return c + 1, t_carry, acc_r, acc_g, acc_b
+        scalars = _chunk_scalars(planes_refs, sl, cx, cy)
+        alpha, _, _, _ = _chunk_alpha(scalars, xs, ys, settings.compute_dtype)
+        alpha32 = alpha.astype(jnp.float32)
+        excl, chunk_t = _trans_chunk(alpha32, chunk)
+        t_before = t_carry * excl                             # [C, P] fp32
+        w = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
+        col_r, col_g, col_b = scalars[6:9]
+        cols3 = jnp.concatenate(
+            [col_r[None, :], col_g[None, :], col_b[None, :]], axis=0)
+        acc = acc + _mm(cols3, w)                             # MXU [3, P]
+        t_carry = t_carry * chunk_t
+        return c + 1, t_carry, acc
 
     def cond(state):
-        c, t_carry, *_ = state
+        c, t_carry, _ = state
         return jnp.logical_and(
             c < n_chunks,
             jnp.logical_and(c * chunk < count,
                             jnp.max(t_carry) >= T_EPS))
 
     t0 = jnp.ones((1, p), jnp.float32)
-    z = jnp.zeros((1, p), jnp.float32)
-    c_end, t_final, acc_r, acc_g, acc_b = jax.lax.while_loop(
-        cond, body, (0, t0, z, z, z))
-    # fill checkpoints for chunks after early exit with the final T
-    def fill_body(ci, _):
-        @pl.when(ci >= c_end)
-        def _():
-            tchk_ref[0, ci, :] = t_final[0]
-        return 0
-    jax.lax.fori_loop(0, n_chunks, fill_body, 0)
+    acc0 = jnp.zeros((3, p), jnp.float32)
+    c_end, t_final, acc = jax.lax.while_loop(cond, body, (0, t0, acc0))
 
-    bg = settings.bg
-    out_ref[0, 0, :] = (acc_r + t_final * bg)[0]
-    out_ref[0, 1, :] = (acc_g + t_final * bg)[0]
-    out_ref[0, 2, :] = (acc_b + t_final * bg)[0]
+    if save_tchk:
+        # fill checkpoints for chunks after early exit with the final T
+        def fill_body(ci, _):
+            @pl.when(ci >= c_end)
+            def _():
+                tchk_ref[0, ci, :] = t_final[0]
+            return 0
+        jax.lax.fori_loop(0, n_chunks, fill_body, 0)
+
+    out_ref[0, 0:3, :] = acc + t_final * settings.bg
     out_ref[0, 3, :] = t_final[0]
 
 
-def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
+# ---------------------------------------------------------------------------
+# Backward kernel: reverse chunk replay with a suffix accumulator.
+# Per-gaussian gradients via pixel-basis moments on the MXU:
+#   with tile-local d0 = xl - mxl, d1 = yl - myl and dq = -alpha*d_alpha/2,
+#   every reduction  sum_p dq * poly(d0, d1)  expands into six moments
+#   M_k = sum_p dq * b_k(xl, yl),  b = (1, xl, yl, xl^2, xl*yl, yl^2),
+#   computed as ONE [C,P] @ [P,6] matmul, then O(C) vector algebra.
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
     planes_refs = refs[:9]
     g_ref, tchk_ref = refs[9], refs[10]
     grad_refs = refs[11:20]
-    th, tw = settings.tile_h, settings.tile_w
-    p = th * tw
     chunk = settings.chunk
     n_chunks = settings.gaussian_cap // chunk
-
-    tile_id = pl.program_id(0)
-    tile_x = tile_id % settings.n_tiles_x
-    tile_y = tile_id // settings.n_tiles_x
-    count = count_ref[tile_id]
-
-    px0 = (tile_x * tw).astype(jnp.float32)
-    py0 = (tile_y * th).astype(jnp.float32)
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
-    xs = px0 + (lin % tw).astype(jnp.float32)
-    ys = py0 + (lin // tw).astype(jnp.float32)
-    tri_lo = _tri_excl_lower(chunk)
+    count = count_ref[pl.program_id(0)]
+    xs, ys, cx, cy = _tile_coords(settings)
     tri_up = _tri_excl_upper(chunk)
+    # pixel-polynomial basis rows: [1, xl, yl, xl^2, xl*yl, yl^2, 0, 0]
+    zeros = jnp.zeros_like(xs)
+    basis = jnp.concatenate(
+        [jnp.ones_like(xs), xs, ys, xs * xs, xs * ys, ys * ys,
+         zeros, zeros], axis=0)                               # [8, P]
 
     for r in grad_refs:
         r[0, 0, :] = jnp.zeros((settings.gaussian_cap,), jnp.float32)
 
-    g_r = g_ref[0, 0, :][None, :]
-    g_g = g_ref[0, 1, :][None, :]
-    g_b = g_ref[0, 2, :][None, :]
+    g3 = g_ref[0, 0:3, :]                                     # [3, P]
     g_t = g_ref[0, 3, :][None, :]
+    g_sum = jnp.sum(g3, axis=0, keepdims=True)                # [1, P]
 
     n_used = jnp.minimum(
         (count + chunk - 1) // chunk, n_chunks).astype(jnp.int32)
     bg = settings.bg
 
-    def last_chunk_tfinal():
-        # recompute T_final by replaying the last used chunk
-        c = jnp.maximum(n_used - 1, 0)
+    def replay(c):
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
-        (_, _, _, _, _, _, _, _, _, _, _, alpha, _) = _chunk_alpha(
-            planes_refs, sl, xs, ys, count, c, chunk,
-            settings.compute_dtype)
-        one_m = 1.0 - alpha
+        scalars = _chunk_scalars(planes_refs, sl, cx, cy)
+        alpha, act, _, _ = _chunk_alpha(scalars, xs, ys,
+                                        settings.compute_dtype)
+        alpha32 = alpha.astype(jnp.float32)
+        excl, chunk_t = _trans_chunk(alpha32, chunk)
         t_start = tchk_ref[0, c, :][None, :]
-        excl = _cumprod_excl(one_m, chunk)
         t_before = t_start * excl
-        live = t_before >= T_EPS
-        return t_start * _masked_prod(one_m, live, chunk)
+        return scalars, alpha32, act, t_before, t_start, chunk_t
+
+    def last_chunk_tfinal():
+        c = jnp.maximum(n_used - 1, 0)
+        _, _, _, _, t_start, chunk_t = replay(c)
+        return t_start * chunk_t
 
     t_final = last_chunk_tfinal()
-
-    a_init = t_final * (bg * (g_r + g_g + g_b) + g_t)
+    a_init = t_final * (bg * g_sum + g_t)
 
     def body(state):
         c, a_acc = state
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
-        (mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b,
-         d0, d1, alpha, act) = _chunk_alpha(planes_refs, sl, xs, ys, count,
-                                            c, chunk,
-                                            settings.compute_dtype)
-        one_m_raw = 1.0 - alpha
-        t_start = tchk_ref[0, c, :][None, :]
-        excl = _cumprod_excl(one_m_raw, chunk)
-        t_before = t_start * excl
+        scalars, alpha32, act, t_before, _, _ = replay(c)
+        mu_x, mu_y, con_a, con_b, con_c, op = scalars[:6]
+
         live = t_before >= T_EPS
-        w = jnp.where(live, alpha * t_before, 0.0)
+        w = jnp.where(live, alpha32 * t_before, 0.0)
 
-        gc = (col_r[:, None] * g_r + col_g[:, None] * g_g
-              + col_b[:, None] * g_b)                        # [C, P]
+        # cols as [C, 3] for the MXU: gc[C,P] = C3 @ g3
+        col_r, col_g, col_b = scalars[6:9]
+        c3 = jnp.concatenate([col_r[:, None], col_g[:, None],
+                              col_b[:, None]], axis=1)        # [C, 3]
+        gc = _mm(c3, g3)                                      # [C, P]
         wgc = w * gc
-        suffix = _mm(tri_up, wgc)                            # [C, P]
-        a_i = a_acc + suffix
+        a_i = a_acc + _mm(tri_up, wgc)                        # suffix (MXU)
 
-        one_m = jnp.maximum(1.0 - alpha, 1e-6)
+        one_m32 = jnp.maximum(1.0 - alpha32, 1e-6)
         d_alpha = jnp.where(live & act,
-                            gc * t_before - a_i / one_m, 0.0)
+                            gc * t_before - a_i / one_m32, 0.0)
+        dq = d_alpha * alpha32 * (-0.5)                       # [C, P]
 
-        # chain through alpha = op * exp(-q/2)
+        m = _mm_rhs_t(dq, basis)                              # [C, 8] moments
+        m0, m1, m2 = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+        m3, m4, m5 = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+        mxl = mu_x[:, None]
+        myl = mu_y[:, None]
+        a2 = 2.0 * con_a[:, None]
+        b2 = 2.0 * con_b[:, None]
+        c2 = 2.0 * con_c[:, None]
+
+        d_cona = m3 - 2.0 * mxl * m1 + mxl * mxl * m0
+        d_conb = 2.0 * (m4 - myl * m1 - mxl * m2 + mxl * myl * m0)
+        d_conc = m5 - 2.0 * myl * m2 + myl * myl * m0
+        mx_c = m1 - mxl * m0
+        my_c = m2 - myl * m0
+        d_mux = -(a2 * mx_c + b2 * my_c)
+        d_muy = -(c2 * my_c + b2 * mx_c)
         safe_op = jnp.maximum(op, 1e-12)[:, None]
-        d_op = jnp.sum(d_alpha * (alpha / safe_op), axis=1)
-        dq = d_alpha * alpha * (-0.5)
-        d_cona = jnp.sum(dq * d0 * d0, axis=1)
-        d_conb = jnp.sum(dq * 2.0 * d0 * d1, axis=1)
-        d_conc = jnp.sum(dq * d1 * d1, axis=1)
-        dq_d0 = dq * (2.0 * con_a[:, None] * d0 + 2.0 * con_b[:, None] * d1)
-        dq_d1 = dq * (2.0 * con_c[:, None] * d1 + 2.0 * con_b[:, None] * d0)
-        d_mux = -jnp.sum(dq_d0, axis=1)
-        d_muy = -jnp.sum(dq_d1, axis=1)
-        d_colr = jnp.sum(w * g_r, axis=1)
-        d_colg = jnp.sum(w * g_g, axis=1)
-        d_colb = jnp.sum(w * g_b, axis=1)
+        d_op = -2.0 * m0 / safe_op
 
-        grad_refs[0][0, 0, sl] = d_mux
-        grad_refs[1][0, 0, sl] = d_muy
-        grad_refs[2][0, 0, sl] = d_cona
-        grad_refs[3][0, 0, sl] = d_conb
-        grad_refs[4][0, 0, sl] = d_conc
-        grad_refs[5][0, 0, sl] = d_op
-        grad_refs[6][0, 0, sl] = d_colr
-        grad_refs[7][0, 0, sl] = d_colg
-        grad_refs[8][0, 0, sl] = d_colb
+        dcol = _mm_rhs_t(w, g3)                               # [C, 3]
+
+        grad_refs[0][0, 0, sl] = d_mux[:, 0]
+        grad_refs[1][0, 0, sl] = d_muy[:, 0]
+        grad_refs[2][0, 0, sl] = d_cona[:, 0]
+        grad_refs[3][0, 0, sl] = d_conb[:, 0]
+        grad_refs[4][0, 0, sl] = d_conc[:, 0]
+        grad_refs[5][0, 0, sl] = d_op[:, 0]
+        grad_refs[6][0, 0, sl] = dcol[:, 0]
+        grad_refs[7][0, 0, sl] = dcol[:, 1]
+        grad_refs[8][0, 0, sl] = dcol[:, 2]
 
         a_acc = a_acc + jnp.sum(wgc, axis=0, keepdims=True)
         return c - 1, a_acc
@@ -383,64 +345,80 @@ def _bwd_train_kernel(count_ref, *refs, settings: RasterSettings):
     jax.lax.while_loop(cond, body, (n_used - 1, a_init))
 
 
-def _train_planes_composite(settings: RasterSettings, planes, tile_counts):
-    """pallas forward returning (out4 [T,4,P], t_chk [T,n_chunks,P])."""
+# ---------------------------------------------------------------------------
+# pallas_call plumbing
+# ---------------------------------------------------------------------------
+
+def _plane_spec(cap):
+    return pl.BlockSpec((1, 1, cap), lambda g, counts: (g, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _check_chunk(settings):
     assert settings.chunk % 128 == 0 or jax.default_backend() != "tpu", \
         "pallas compositing needs chunk % 128 == 0 (lane-aligned slices)"
-    n_tiles = settings.n_tiles
+
+
+def _composite_call(settings: RasterSettings, planes, tile_counts,
+                    save_tchk: bool):
+    """Run the forward kernel over a grid of planes.shape[0] tiles.
+
+    planes may be a V-view concatenation [V*n_tiles, cap]: the kernel maps
+    grid step -> pixel coords via program_id % n_tiles."""
+    _check_chunk(settings)
+    n_grid = planes[0].shape[0]
     cap = settings.gaussian_cap
     p = settings.tile_h * settings.tile_w
     n_chunks = cap // settings.chunk
     planes3 = tuple(q[:, None, :] for q in planes)
-    plane_spec = pl.BlockSpec((1, 1, cap), lambda g, counts: (g, 0, 0),
-                              memory_space=pltpu.VMEM)
+    out_specs = [pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n_grid, 4, p), jnp.float32)]
+    if save_tchk:
+        out_specs.append(
+            pl.BlockSpec((1, n_chunks, p), lambda g, counts: (g, 0, 0),
+                         memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_grid, n_chunks, p), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[plane_spec] * 9,
-        out_specs=[
-            pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_chunks, p), lambda g, counts: (g, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        grid=(n_grid,),
+        in_specs=[_plane_spec(cap)] * 9,
+        out_specs=out_specs,
     )
-    out, t_chk = pl.pallas_call(
-        functools.partial(_fwd_train_kernel, settings=settings),
+    res = pl.pallas_call(
+        functools.partial(_fwd_kernel, settings=settings,
+                          save_tchk=save_tchk),
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, 4, p), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, n_chunks, p), jnp.float32),
-        ],
+        out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
     )(tile_counts, *planes3)
-    return out, t_chk
+    return (res[0], res[1]) if save_tchk else (res[0], None)
 
 
-def _train_planes_composite_bwd(settings: RasterSettings, planes,
-                                tile_counts, t_chk, g_out):
-    n_tiles = settings.n_tiles
+def _composite_call_bwd(settings: RasterSettings, planes, tile_counts,
+                        t_chk, g_out):
+    _check_chunk(settings)
+    n_grid = planes[0].shape[0]
     cap = settings.gaussian_cap
     p = settings.tile_h * settings.tile_w
     n_chunks = cap // settings.chunk
     planes3 = tuple(q[:, None, :] for q in planes)
-    plane_spec = pl.BlockSpec((1, 1, cap), lambda g, counts: (g, 0, 0),
-                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[plane_spec] * 9 + [
+        grid=(n_grid,),
+        in_specs=[_plane_spec(cap)] * 9 + [
             pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, n_chunks, p), lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[plane_spec] * 9,
+        out_specs=[_plane_spec(cap)] * 9,
     )
     grads = pl.pallas_call(
-        functools.partial(_bwd_train_kernel, settings=settings),
+        functools.partial(_bwd_kernel, settings=settings),
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((n_tiles, 1, cap), jnp.float32)] * 9,
+        out_shape=[jax.ShapeDtypeStruct((n_grid, 1, cap), jnp.float32)] * 9,
         interpret=jax.default_backend() != "tpu",
     )(tile_counts, *planes3, g_out, t_chk)
     return tuple(g[:, 0, :] for g in grads)
@@ -448,24 +426,37 @@ def _train_planes_composite_bwd(settings: RasterSettings, planes,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def pallas_tile_composite(settings: RasterSettings, planes, tile_counts):
-    out, _ = _train_planes_composite(settings, planes, tile_counts)
+    """Differentiable tile compositing: planes 9x[T', cap] -> [T', 4, P].
+
+    T' may be any multiple of settings.n_tiles (concatenated views)."""
+    out, _ = _composite_call(settings, planes, tile_counts, save_tchk=False)
     return out
 
 
 def _ptc_fwd(settings, planes, tile_counts):
-    out, t_chk = _train_planes_composite(settings, planes, tile_counts)
+    out, t_chk = _composite_call(settings, planes, tile_counts,
+                                 save_tchk=True)
     return out, (planes, tile_counts, t_chk)
 
 
 def _ptc_bwd(settings, res, g_out):
     planes, tile_counts, t_chk = res
-    grads = _train_planes_composite_bwd(settings, planes, tile_counts,
-                                        t_chk, g_out)
+    grads = _composite_call_bwd(settings, planes, tile_counts, t_chk, g_out)
     return grads, None
 
 
 pallas_tile_composite.defvjp(_ptc_fwd, _ptc_bwd)
 
+
+def composite_tiles_inference(settings: RasterSettings, planes, tile_counts):
+    """Forward-only compositing (no checkpoint output, early exit)."""
+    out, _ = _composite_call(settings, planes, tile_counts, save_tchk=False)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Single-view drop-in APIs (tests, eval paths)
+# ---------------------------------------------------------------------------
 
 def rasterize_pallas_train(xyz, color, opacity, scaling, rot, valid,
                            frame_z, x_min, y_min, scale,
@@ -477,8 +468,6 @@ def rasterize_pallas_train(xyz, color, opacity, scaling, rot, valid,
     stay in XLA (differentiable / integer respectively); compositing runs
     in the fwd/bwd kernel pair with per-tile early exit; plane gradients
     scatter-add back through the gather transpose (including means2d)."""
-    from gsvc_tpu.render.splat import gather_tile_planes
-
     proj = project_gaussians(xyz, scaling, rot, valid, frame_z, x_min,
                              y_min, scale, settings, flip=flip,
                              means2d=means2d)
@@ -488,13 +477,8 @@ def rasterize_pallas_train(xyz, color, opacity, scaling, rot, valid,
     planes = gather_tile_planes(proj, opacity, color, tile_lists)
 
     out4 = pallas_tile_composite(settings, planes, tile_counts)
-
-    th, tw = settings.tile_h, settings.tile_w
-    full = out4.reshape(settings.n_tiles_y, settings.n_tiles_x, 4, th, tw)
-    full = full.transpose(2, 0, 3, 1, 4).reshape(
-        4, settings.n_tiles_y * th, settings.n_tiles_x * tw)
-    full = full[:, :settings.image_height, :settings.image_width]
-    return RasterOutput(image=full[:3], transmittance=full[3],
+    imgs, ts = assemble_views(settings, out4)
+    return RasterOutput(image=imgs[0], transmittance=ts[0],
                         radii=proj.radius, num_rendered=n_rendered,
                         overflow=overflow)
 
@@ -511,47 +495,12 @@ def rasterize_pallas(xyz, color, opacity, scaling, rot, valid,
     proj = project_gaussians(xyz, scaling, rot, valid, frame_z, x_min,
                              y_min, scale, settings, flip=flip)
     opacity = jnp.where(proj.valid[:, None], opacity, 0.0)
-
     tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
         proj, settings)
-
-    from gsvc_tpu.render.splat import gather_tile_planes
-
     planes = gather_tile_planes(proj, opacity, color, tile_lists)
 
-    th, tw = settings.tile_h, settings.tile_w
-    p = th * tw
-    n_tiles = settings.n_tiles
-    cap = settings.gaussian_cap
-
-    # index maps receive (grid_idx, *scalar_refs); use the grid index.
-    # planes are [T, 1, cap]: TPU rank-2 blocks need sublane multiples of
-    # 8, so a unit middle dim makes the (1, cap) trailing block legal
-    planes = tuple(p_[:, None, :] for p_ in planes)
-    plane_spec = pl.BlockSpec((1, 1, cap), lambda g, counts: (g, 0, 0),
-                              memory_space=pltpu.VMEM)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,          # tile_counts lives in SMEM
-        grid=(n_tiles,),
-        in_specs=[plane_spec] * 9,
-        out_specs=pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
-
-    out = pl.pallas_call(
-        functools.partial(_composite_kernel, settings=settings),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, 4, p), jnp.float32),
-        interpret=jax.default_backend() != "tpu",
-    )(tile_counts, *planes)
-
-    # [n_tiles, 4, p] -> [4, H, W] -> split
-    full = out.reshape(settings.n_tiles_y, settings.n_tiles_x, 4, th, tw)
-    full = full.transpose(2, 0, 3, 1, 4).reshape(
-        4, settings.n_tiles_y * th, settings.n_tiles_x * tw)
-    full = full[:, :settings.image_height, :settings.image_width]
-    img = full[:3]
-    t_map = full[3]
-
-    return RasterOutput(image=img, transmittance=t_map, radii=proj.radius,
-                        num_rendered=n_rendered, overflow=overflow)
+    out4 = composite_tiles_inference(settings, planes, tile_counts)
+    imgs, ts = assemble_views(settings, out4)
+    return RasterOutput(image=imgs[0], transmittance=ts[0],
+                        radii=proj.radius, num_rendered=n_rendered,
+                        overflow=overflow)

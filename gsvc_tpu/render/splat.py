@@ -227,18 +227,29 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
         & proj.valid[:, None]
     tile_id = (ty0[:, None] + dy) * settings.n_tiles_x + (tx0[:, None] + dx)
 
-    # lexicographic (tile, depth-rank) sort; int32-safe (no composite key)
     tile_key = jnp.where(copy_valid, tile_id,
                          jnp.int32(settings.n_tiles)).reshape(-1)
-    rank_key = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
     gauss_id = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[:, None], (m, t_max)).reshape(-1)
 
-    tile_sorted, _, gauss_sorted = jax.lax.sort(
-        (tile_key, rank_key, gauss_id), num_keys=2)
-
-    bounds = jnp.searchsorted(
-        tile_sorted, jnp.arange(settings.n_tiles + 1, dtype=jnp.int32))
+    rank_bits = max(1, (m - 1).bit_length())
+    if (settings.n_tiles + 1) << rank_bits <= 2 ** 31:
+        # fused (tile << rank_bits | depth-rank) int32 key: ONE single-key
+        # sort instead of a two-key lexicographic sort (~2x faster; the
+        # binning sort is the dominant non-compositing cost per render)
+        rank_b = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
+        fused = (tile_key << rank_bits) | rank_b
+        fused_sorted, gauss_sorted = jax.lax.sort(
+            (fused, gauss_id), num_keys=1)
+        bounds = jnp.searchsorted(
+            fused_sorted, jnp.arange(settings.n_tiles + 1,
+                                     dtype=jnp.int32) << rank_bits)
+    else:
+        rank_key = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
+        tile_sorted, _, gauss_sorted = jax.lax.sort(
+            (tile_key, rank_key, gauss_id), num_keys=2)
+        bounds = jnp.searchsorted(
+            tile_sorted, jnp.arange(settings.n_tiles + 1, dtype=jnp.int32))
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
 
@@ -342,6 +353,43 @@ def gather_tile_planes(proj: Projected, opacity, color, tile_lists):
     )
 
 
+def composite_tiles_jnp(settings: RasterSettings, planes, tile_counts):
+    """Differentiable XLA compositing over a tile grid.
+
+    planes: 9-tuple of [T', cap] (T' may be V*n_tiles for V concatenated
+    views); returns [T', 4, P] (premultiplied rgb + transmittance), the
+    same packing as the Pallas kernels."""
+    n_grid = planes[0].shape[0]
+    tiles_y = jnp.arange(settings.n_tiles_y, dtype=jnp.int32)
+    tiles_x = jnp.arange(settings.n_tiles_x, dtype=jnp.int32)
+    ty_grid = jnp.repeat(tiles_y, settings.n_tiles_x)
+    tx_grid = jnp.tile(tiles_x, settings.n_tiles_y)
+    v = n_grid // settings.n_tiles
+    ty_grid = jnp.tile(ty_grid, v)
+    tx_grid = jnp.tile(tx_grid, v)
+
+    tile_imgs, tile_ts = jax.vmap(
+        lambda pln, cnt, ty, tx: _composite_tile(pln, cnt, ty, tx, settings)
+    )(planes, tile_counts, ty_grid, tx_grid)
+
+    p = settings.tile_h * settings.tile_w
+    return jnp.concatenate(
+        [tile_imgs.reshape(n_grid, 3, p), tile_ts.reshape(n_grid, 1, p)],
+        axis=1)
+
+
+def assemble_views(settings: RasterSettings, out4):
+    """[V*T, 4, P] -> ([V, 3, H, W] images, [V, H, W] transmittances)."""
+    th, tw = settings.tile_h, settings.tile_w
+    nty, ntx = settings.n_tiles_y, settings.n_tiles_x
+    v = out4.shape[0] // settings.n_tiles
+    full = out4.reshape(v, nty, ntx, 4, th, tw)
+    full = full.transpose(0, 3, 1, 4, 2, 5).reshape(
+        v, 4, nty * th, ntx * tw)
+    full = full[:, :, :settings.image_height, :settings.image_width]
+    return full[:, :3], full[:, 3]
+
+
 class RasterOutput(NamedTuple):
     image: jnp.ndarray        # [3, H, W] channel-FIRST (lane dim = W; an
                               # [H, W, 3] layout pads lanes 42x on TPU)
@@ -371,31 +419,10 @@ def rasterize(xyz, color, opacity, scaling, rot, valid,
     tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
         proj, settings)
     planes = gather_tile_planes(proj, opacity, color, tile_lists)
-
-    tiles_y = jnp.arange(settings.n_tiles_y, dtype=jnp.int32)
-    tiles_x = jnp.arange(settings.n_tiles_x, dtype=jnp.int32)
-    ty_grid = jnp.repeat(tiles_y, settings.n_tiles_x)
-    tx_grid = jnp.tile(tiles_x, settings.n_tiles_y)
-
-    tile_imgs, tile_ts = jax.vmap(
-        lambda pln, cnt, ty, tx: _composite_tile(pln, cnt, ty, tx, settings)
-    )(planes, tile_counts, ty_grid, tx_grid)
-
-    # [n_tiles, 3, th, tw] -> [3, H_pad, W_pad] -> crop
-    img = tile_imgs.reshape(settings.n_tiles_y, settings.n_tiles_x, 3,
-                            settings.tile_h, settings.tile_w)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(
-        3, settings.n_tiles_y * settings.tile_h,
-        settings.n_tiles_x * settings.tile_w)
-    img = img[:, :settings.image_height, :settings.image_width]
-    t_map = tile_ts.reshape(settings.n_tiles_y, settings.n_tiles_x,
-                            settings.tile_h, settings.tile_w)
-    t_map = t_map.transpose(0, 2, 1, 3).reshape(
-        settings.n_tiles_y * settings.tile_h,
-        settings.n_tiles_x * settings.tile_w)
-    t_map = t_map[:settings.image_height, :settings.image_width]
-
-    return RasterOutput(image=img, transmittance=t_map, radii=proj.radius,
+    out4 = composite_tiles_jnp(settings, planes, tile_counts)
+    imgs, ts = assemble_views(settings, out4)
+    return RasterOutput(image=imgs[0], transmittance=ts[0],
+                        radii=proj.radius,
                         num_rendered=n_rendered, overflow=overflow)
 
 

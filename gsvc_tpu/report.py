@@ -18,7 +18,7 @@ import numpy as np
 
 from gsvc_tpu.metrics.image import ms_ssim, psnr, ssim
 from gsvc_tpu.models.gaussians import GaussianConfig, GenerateMode, ModelState
-from gsvc_tpu.render.pipeline import render_frame
+
 from gsvc_tpu.render.splat import RasterSettings
 
 
@@ -30,15 +30,15 @@ def _make_eval_render(cfg: GaussianConfig, settings: RasterSettings,
     rasterizer = "pallas" if (jax.default_backend() == "tpu"
                               and settings.chunk % 128 == 0) else "jnp"
 
+    from gsvc_tpu.render.batched import render_frame_views
+
     @jax.jit
     def render(state: ModelState, frame_z):
-        rf = render_frame(state, cfg, frame_z, x_min, y_min, scale,
-                          settings, window_cap, mode, None, flip=False,
-                          decoded=decoded, rasterizer=rasterizer)
-        rb = render_frame(state, cfg, frame_z, x_min, y_min, scale,
-                          settings, window_cap, mode, None, flip=True,
-                          decoded=decoded, rasterizer=rasterizer)
-        return (rf.image + rb.image[:, :, ::-1]) / 2.0
+        avg, _, _, _ = render_frame_views(
+            state, cfg, frame_z, x_min, y_min, scale, settings, window_cap,
+            mode=mode, rasterizer=rasterizer, decoded=decoded,
+            inference=True)
+        return avg
 
     return render
 
@@ -50,8 +50,14 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
                    mode: GenerateMode = GenerateMode.FULL_PRECISION,
                    decoded: bool = False,
                    dump_dir: Optional[str] = None,
-                   compute_msssim: bool = True) -> dict:
-    """Render every frame; measure decode FPS and (if GT given) metrics."""
+                   compute_msssim: bool = True,
+                   lpips_weights: Optional[dict] = None) -> dict:
+    """Render every frame; measure decode FPS and (if GT given) metrics.
+
+    ``lpips_weights``: optional dict from metrics.lpips.load_lpips_weights
+    — when given, LPIPS joins PSNR/SSIM/MS-SSIM in the report (the
+    reference evaluates it on every full-video eval,
+    utils/report_utils.py:331-356)."""
     render = _make_eval_render(cfg, settings, window_cap, x_min, y_min,
                                scale, mode, decoded)
 
@@ -59,7 +65,12 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
     img = render(state, jnp.asarray(float(frame_zs[0])))
     jax.block_until_ready(img)
 
-    psnrs, ssims, msssims = [], [], []
+    psnrs, ssims, msssims, lpipss = [], [], [], []
+    lpips_fn = None
+    if lpips_weights is not None:
+        from gsvc_tpu.metrics.lpips import lpips as _lpips
+
+        lpips_fn = jax.jit(lambda a, b: _lpips(lpips_weights, a, b))
     t0 = time.perf_counter()
     images = []
     for fz in frame_zs:
@@ -80,6 +91,10 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
             ssims.append(float(ssim(img, gt)))
             if can_msssim:
                 msssims.append(float(ms_ssim(img, gt)))
+            if lpips_fn is not None:
+                lpipss.append(float(lpips_fn(
+                    jnp.transpose(img, (1, 2, 0)),
+                    jnp.transpose(gt, (1, 2, 0)))))
 
     if dump_dir is not None:
         from PIL import Image
@@ -99,6 +114,8 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
                       per_frame_psnr=psnrs)
         if msssims:
             result["ms_ssim"] = float(np.mean(msssims))
+        if lpipss:
+            result["lpips"] = float(np.mean(lpipss))
     return result
 
 

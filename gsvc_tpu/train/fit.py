@@ -102,6 +102,7 @@ class GOPFitter:
             gaussian_cap=cfg.pipeline.visible_capacity or 1024,
             chunk=cfg.pipeline.gaussian_chunk, bg=bg)
 
+        self._overflow_strikes = 0
         self.schedules = build_schedules(opt, spatial_lr_scale=1.0,
                                          ste_binary=cfg.model.ste_binary)
         params = (self.state.anchors, self.state.nets)
@@ -214,6 +215,43 @@ class GOPFitter:
             self._build_step()
         return res
 
+    # -- overflow reaction -------------------------------------------------
+    MAX_GAUSSIAN_CAP = 4096
+    MAX_TILES_PER_GAUSSIAN = 128
+
+    def _react_to_overflow(self, overflow: int, it: int,
+                           strikes_to_act: int = 2):
+        """Tile-capacity overflow drops gaussians from the render
+        (splat.py:_bin_gaussians).  Persistent nonzero overflow means the
+        raster capacities are undersized for the scene: grow them and
+        re-jit (padded-capacity epochs, SURVEY.md §7) instead of silently
+        rendering wrong."""
+        if overflow <= 0:
+            self._overflow_strikes = 0
+            return False
+        self._overflow_strikes += 1
+        if self._overflow_strikes < strikes_to_act:
+            return False
+        s = self.settings
+        new_cap = min(s.gaussian_cap * 2, self.MAX_GAUSSIAN_CAP)
+        new_tpg = min(s.tiles_per_gaussian * 2, self.MAX_TILES_PER_GAUSSIAN)
+        if new_cap == s.gaussian_cap and new_tpg == s.tiles_per_gaussian:
+            self.log(f"iter {it}: WARNING render overflow={overflow} "
+                     f"persists at max capacities (gaussian_cap="
+                     f"{s.gaussian_cap}); output quality is degraded")
+            self._overflow_strikes = 0
+            return False
+        import dataclasses
+        self.settings = dataclasses.replace(
+            s, gaussian_cap=new_cap, tiles_per_gaussian=new_tpg)
+        self._build_step()
+        self._overflow_strikes = 0
+        self.log(f"iter {it}: WARNING render overflow={overflow}; growing "
+                 f"gaussian_cap {s.gaussian_cap}->{new_cap}, "
+                 f"tiles_per_gaussian {s.tiles_per_gaussian}->{new_tpg} "
+                 f"(re-jit)")
+        return True
+
     # -- model snapshots (reference: FrameCube.save, frame_cube.py:151-154)
     def save_snapshot(self, out_dir: str):
         """point_cloud.ply + networks pickle — the mid-training artifact
@@ -278,11 +316,14 @@ class GOPFitter:
                      "psnr": float(m.psnr),
                      "bpp": float(m.bit_per_param),
                      "n_active": int(self.state.n_active)})
+                ovf = int(m.overflow)
                 self.log(f"iter {it}: loss={float(m.loss):.5f} "
                          f"psnr={float(m.psnr):.2f} "
                          f"bpp={float(m.bit_per_param):.4f} "
                          f"anchors={int(self.state.n_active)} "
+                         f"overflow={ovf} "
                          f"({(time.time()-t0):.1f}s)")
+                self._react_to_overflow(ovf, it)
 
             if eval_every and it % eval_every == 0:
                 ev = self.evaluate(mode=mode)

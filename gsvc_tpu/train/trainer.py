@@ -25,7 +25,7 @@ from gsvc_tpu.models.gaussians import (
     GaussianConfig, GenerateMode, ModelState, get_scaling,
 )
 from gsvc_tpu.ops import binary_vxl_size, ste_binary
-from gsvc_tpu.render.pipeline import RenderResults, render_frame
+from gsvc_tpu.render.pipeline import RenderResults
 from gsvc_tpu.render.splat import RasterSettings
 from gsvc_tpu.train.optim import AdamState, adam_update, build_lr_tree
 
@@ -124,29 +124,17 @@ def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
     k = cfg.n_offsets
     use_optical = opt.optical_lambda != 0.0
 
-    def _render4(st: ModelState, z1, z2, key, mode, m2d):
-        keys = jax.random.split(key, 4) if key is not None else [None] * 4
-        m2 = (lambda i: m2d[i]) if m2d is not None else (lambda i: None)
-        r1f = render_frame(st, cfg, z1, x_min, y_min, scale, settings,
-                           window_cap, mode, keys[0], flip=False,
-                           means2d=m2(0), rasterizer=rasterizer)
-        r1b = render_frame(st, cfg, z1, x_min, y_min, scale, settings,
-                           window_cap, mode, keys[1], flip=True,
-                           means2d=m2(1), rasterizer=rasterizer)
-        r2f = render_frame(st, cfg, z2, x_min, y_min, scale, settings,
-                           window_cap, mode, keys[2], flip=False,
-                           means2d=m2(2), rasterizer=rasterizer)
-        r2b = render_frame(st, cfg, z2, x_min, y_min, scale, settings,
-                           window_cap, mode, keys[3], flip=True,
-                           means2d=m2(3), rasterizer=rasterizer)
-        return r1f, r1b, r2f, r2b
-
     def _loss(st: ModelState, z1, z2, gt1, gt2, flow, key, mode, m2d):
-        r1f, r1b, r2f, r2b = _render4(st, z1, z2, key, mode, m2d)
-        renders = (r1f, r1b, r2f, r2b)
+        from gsvc_tpu.render.batched import render_pair
 
-        image1 = (r1f.image + r1b.image[:, :, ::-1]) / 2.0
-        image2 = (r2f.image + r2b.image[:, :, ::-1]) / 2.0
+        pr = render_pair(st, cfg, z1, z2, x_min, y_min, scale, settings,
+                         window_cap, mode, key, rasterizer=rasterizer,
+                         means2d=m2d)
+        r1f, r1b, r2f, r2b = pr.renders
+        renders = pr.renders
+
+        image1 = (pr.images[0] + pr.images[1][:, :, ::-1]) / 2.0
+        image2 = (pr.images[2] + pr.images[3][:, :, ::-1]) / 2.0
 
         l1 = (jnp.mean(jnp.abs(image1 - gt1))
               + jnp.mean(jnp.abs(image2 - gt2)))
@@ -217,6 +205,44 @@ def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
     return _loss
 
 
+def accumulate_stats(stats: TrainStats, renders, m2d_grads, scale, k: int
+                     ) -> TrainStats:
+    """training_statis for 4 renders (gaussian_model.py:1281-1314),
+    as dynamic-slice adds over the window.  Window indices are relative
+    to whatever anchor block the renders saw — the full buffer on a
+    single chip, the local z-slab under SPMD."""
+    oa, ad, oga, od = (stats.opacity_accum, stats.anchor_demon,
+                       stats.offset_gradient_accum, stats.offset_denom)
+    for r, g2d in zip(renders, m2d_grads):
+        v = r.in_window.shape[0]
+        s = r.window_start
+        op = jnp.maximum(r.neural_opacity[:, 0], 0.0).reshape(v, k)
+        op_sum = jnp.sum(op, axis=1, keepdims=True) \
+            * r.in_window[:, None]
+        oa = jax.lax.dynamic_update_slice_in_dim(
+            oa, jax.lax.dynamic_slice_in_dim(oa, s, v, 0) + op_sum,
+            s, 0)
+        ad = jax.lax.dynamic_update_slice_in_dim(
+            ad, jax.lax.dynamic_slice_in_dim(ad, s, v, 0)
+            + r.in_window[:, None].astype(jnp.float32), s, 0)
+
+        upd = (r.selection_mask & r.visibility_filter)[:, None]
+        # pixel-space grads scaled back to NDC units for threshold
+        # comparability with the reference's screenspace grads
+        gnorm = jnp.linalg.norm(g2d, axis=-1, keepdims=True) * scale
+        gnorm = jnp.where(upd, gnorm, 0.0)
+        srow = s * k
+        rows = v * k
+        oga = jax.lax.dynamic_update_slice_in_dim(
+            oga, jax.lax.dynamic_slice_in_dim(oga, srow, rows, 0)
+            + gnorm, srow, 0)
+        od = jax.lax.dynamic_update_slice_in_dim(
+            od, jax.lax.dynamic_slice_in_dim(od, srow, rows, 0)
+            + upd.astype(jnp.float32), srow, 0)
+    return TrainStats(opacity_accum=oa, anchor_demon=ad,
+                      offset_gradient_accum=oga, offset_denom=od)
+
+
 def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
                     window_cap: int, opt: OptimizationConfig,
                     width: int, height: int, scale: float,
@@ -226,40 +252,6 @@ def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
     k = cfg.n_offsets
     _loss = make_pair_loss(cfg, settings, window_cap, opt, width, height,
                            scale, x_min, y_min, rasterizer=rasterizer)
-
-    def _accumulate_stats(stats: TrainStats, renders, m2d_grads, scale):
-        """training_statis for 4 renders (gaussian_model.py:1281-1314),
-        as dynamic-slice adds over the window."""
-        oa, ad, oga, od = (stats.opacity_accum, stats.anchor_demon,
-                           stats.offset_gradient_accum, stats.offset_denom)
-        for r, g2d in zip(renders, m2d_grads):
-            v = r.in_window.shape[0]
-            s = r.window_start
-            op = jnp.maximum(r.neural_opacity[:, 0], 0.0).reshape(v, k)
-            op_sum = jnp.sum(op, axis=1, keepdims=True) \
-                * r.in_window[:, None]
-            oa = jax.lax.dynamic_update_slice_in_dim(
-                oa, jax.lax.dynamic_slice_in_dim(oa, s, v, 0) + op_sum,
-                s, 0)
-            ad = jax.lax.dynamic_update_slice_in_dim(
-                ad, jax.lax.dynamic_slice_in_dim(ad, s, v, 0)
-                + r.in_window[:, None].astype(jnp.float32), s, 0)
-
-            upd = (r.selection_mask & r.visibility_filter)[:, None]
-            # pixel-space grads scaled back to NDC units for threshold
-            # comparability with the reference's screenspace grads
-            gnorm = jnp.linalg.norm(g2d, axis=-1, keepdims=True) * scale
-            gnorm = jnp.where(upd, gnorm, 0.0)
-            srow = s * k
-            rows = v * k
-            oga = jax.lax.dynamic_update_slice_in_dim(
-                oga, jax.lax.dynamic_slice_in_dim(oga, srow, rows, 0)
-                + gnorm, srow, 0)
-            od = jax.lax.dynamic_update_slice_in_dim(
-                od, jax.lax.dynamic_slice_in_dim(od, srow, rows, 0)
-                + upd.astype(jnp.float32), srow, 0)
-        return TrainStats(opacity_accum=oa, anchor_demon=ad,
-                          offset_gradient_accum=oga, offset_denom=od)
 
     @functools.partial(jax.jit, static_argnames=("mode", "do_stats"),
                        donate_argnums=(0, 1, 2))
@@ -278,8 +270,8 @@ def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
         if do_stats:
             (loss, aux), (g_params, g_m2d) = jax.value_and_grad(
                 loss_fn, argnums=(0, 1), has_aux=True)(params, m2d)
-            stats = _accumulate_stats(stats, aux["renders"],
-                                      [g_m2d[i] for i in range(4)], scale)
+            stats = accumulate_stats(stats, aux["renders"],
+                                     [g_m2d[i] for i in range(4)], scale, k)
         else:
             (loss, aux), g_params = jax.value_and_grad(
                 loss_fn, argnums=0, has_aux=True)(params, None)

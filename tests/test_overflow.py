@@ -1,0 +1,51 @@
+"""Overflow reaction: undersized raster capacities must grow, not drop
+gaussians silently (splat.py:_bin_gaussians diagnoses; fit.py reacts)."""
+
+import numpy as np
+
+from gsvc_tpu.config import (
+    Config, ModelConfig, OptimizationConfig, PipelineConfig,
+)
+from gsvc_tpu.framecube import FrameCubeDataset
+from gsvc_tpu.train.fit import GOPFitter
+from tests.test_train import synthetic_video
+
+
+def test_fit_grows_capacity_on_overflow():
+    cfg = Config(
+        model=ModelConfig(
+            anchor_feature_dim=8, n_offsets=4, threshold=0.3,
+            time_multi_res=4, offset_multi_res=4,
+            log2=6, log2_2D=7, grid_feature_dim=2,
+            resolutions_list=(6, 10), resolutions_list_2D=(12, 20)),
+        # deliberately tiny per-tile capacity: 300 anchors x 4 offsets on a
+        # 24x32 frame guarantees > 8 binned gaussians per tile
+        pipeline=PipelineConfig(tile_h=8, tile_w=16, visible_capacity=8,
+                                gaussian_chunk=8),
+        optimization=OptimizationConfig(
+            iterations=6, init_anchor_num=300, optical_lambda=0.0,
+            start_stat=100, update_from=200, update_interval=100,
+            update_until=6,
+            full_precision_training_total=6,
+            quantized_training_total=0,
+            entropy_constrained_train_total=0,
+            ste_entropy_constrained_train_total=0),
+    )
+    ds = FrameCubeDataset(images=synthetic_video(t=4, h=24, w=32))
+    fitter = GOPFitter(cfg, ds, seed=0)
+    cap0 = fitter.settings.gaussian_cap
+    assert cap0 == 8
+    fitter.fit(iterations=6, log_every=1)
+    assert fitter.settings.gaussian_cap > cap0, \
+        "persistent overflow must trigger capacity growth"
+
+
+def test_no_reaction_without_overflow():
+    from tests.test_train import small_config
+
+    cfg = small_config(iterations=4)
+    ds = FrameCubeDataset(images=synthetic_video(t=4))
+    fitter = GOPFitter(cfg, ds, seed=0)
+    cap0 = fitter.settings.gaussian_cap
+    fitter.fit(iterations=4, log_every=1)
+    assert fitter.settings.gaussian_cap == cap0

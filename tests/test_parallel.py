@@ -1,7 +1,8 @@
 """Multi-chip SPMD tests on the virtual 8-device CPU mesh.
 
-Checks the z-slab sharded renderer against the single-device renderer and
-runs the 2D (dp x sp) training step end to end.
+Checks the z-slab sharded renderer against the single-device renderer,
+runs the 2D (dp x sp) training step end to end (including densification
+statistics + a host re-shard densify epoch), and the GOP fan-out step.
 """
 
 import jax
@@ -11,14 +12,17 @@ import pytest
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
+from gsvc_tpu.config import ModelConfig, OptimizationConfig
 from gsvc_tpu.models.gaussians import GenerateMode
 from gsvc_tpu.parallel.spmd import (
-    combine_slab_renders, make_mesh, make_spmd_train_step, shard_model_state,
+    combine_slab_renders, make_gop_parallel_step, make_mesh,
+    make_spmd_train_step, shard_adam_state, shard_model_state,
+    shard_train_stats, spmd_densify_epoch, stack_states, unstack_states,
 )
 from gsvc_tpu.render.pipeline import make_raster_settings, render_frame
 from gsvc_tpu.train.optim import adam_init
 from gsvc_tpu.train.schedules import build_schedules
-from gsvc_tpu.config import OptimizationConfig
+from gsvc_tpu.train.trainer import init_stats
 from tests.test_model import make_state
 
 pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
@@ -62,20 +66,23 @@ def test_slab_composite_matches_single_device():
                                atol=2e-4)
 
 
-def test_spmd_train_step_runs_and_improves():
-    cfg, state = make_state(n=128, capacity=128, seed=3)
+def _spmd_setup(seed=3, n_dp=2, n_sp=4):
+    cfg, state = make_state(n=128, capacity=128, seed=seed)
     settings = make_raster_settings(cfg, 24, 32, tile_h=8, tile_w=16,
                                     gaussian_cap=128, chunk=32)
-    mesh = make_mesh(2, 4)
+    mesh = make_mesh(n_dp, n_sp)
     state = shard_model_state(state, mesh)
-
     opt = OptimizationConfig(optical_lambda=0.0)
     step = make_spmd_train_step(cfg, settings, 32, opt,
                                 width=32, height=24, **GEOM, mesh=mesh)
-    adam = adam_init((state.anchors, state.nets))
-    scheds = build_schedules(opt)
-    lrs = {k: fn(1) for k, fn in scheds.items()}
+    adam = shard_adam_state(adam_init((state.anchors, state.nets)), mesh)
+    stats = shard_train_stats(init_stats(128, cfg.n_offsets), mesh)
+    lrs = {k: fn(1) for k, fn in build_schedules(opt).items()}
+    return cfg, state, settings, mesh, opt, step, adam, stats, lrs
 
+
+def test_spmd_train_step_runs_and_improves():
+    cfg, state, settings, mesh, opt, step, adam, stats, lrs = _spmd_setup()
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(0.2, 0.8, (2, 3, 24, 32)), jnp.float32)
     z1 = jnp.asarray([0.0, 0.01])
@@ -84,29 +91,140 @@ def test_spmd_train_step_runs_and_improves():
 
     losses = []
     for it in range(8):
-        state, adam, metrics = step(state, adam, lrs, z1, z2, gt, gt, keys,
-                                    mode=GenerateMode.FULL_PRECISION)
+        state, adam, stats, metrics = step(
+            state, adam, stats, lrs, z1, z2, gt, gt, keys,
+            mode=GenerateMode.FULL_PRECISION)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
 
 
-def test_spmd_entropy_mode_compiles():
+def test_spmd_stats_and_densify_epoch():
+    """Densification under SPMD: sharded stats accumulate; the host
+    re-shard epoch grows/prunes and returns a re-sharded state."""
+    cfg, state, settings, mesh, opt, step, adam, stats, lrs = _spmd_setup(
+        seed=5)
+    rng = np.random.default_rng(1)
+    gt = jnp.asarray(rng.uniform(0.2, 0.8, (2, 3, 24, 32)), jnp.float32)
+    keys = jax.random.split(jax.random.PRNGKey(2), 2)
+    for _ in range(3):
+        state, adam, stats, _ = step(
+            state, adam, stats, lrs, jnp.zeros(2), jnp.full(2, 0.01),
+            gt, gt, keys, mode=GenerateMode.FULL_PRECISION, do_stats=True)
+    assert float(jnp.sum(stats.anchor_demon)) > 0, \
+        "stats must accumulate under the mesh"
+
+    mc = ModelConfig(anchor_feature_dim=cfg.feat_dim,
+                     n_offsets=cfg.n_offsets, threshold=cfg.threshold)
+    n_before = int(state.n_active)
+    state2, adam2, stats2, res, cap = spmd_densify_epoch(
+        state, adam, stats, mesh, mc, opt, voxel_size=0.01,
+        rng=np.random.default_rng(3), n_offsets=cfg.n_offsets)
+    assert cap % mesh.shape["sp"] == 0
+    assert int(state2.n_active) == res.n_active
+    # stats reset semantics are adjust_anchors'; buffers must be resized
+    assert state2.anchors.anchor.shape[0] == cap
+    # the re-sharded state must still step
+    state2, adam2, stats2, metrics = step(
+        state2, adam2, stats2, lrs, jnp.zeros(2), jnp.full(2, 0.01),
+        gt, gt, keys, mode=GenerateMode.FULL_PRECISION)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_spmd_entropy_mode_exact_rates():
     cfg, state = make_state(n=64, capacity=64, seed=4)
     settings = make_raster_settings(cfg, 16, 16, tile_h=8, tile_w=16,
                                     gaussian_cap=64, chunk=16)
     mesh = make_mesh(2, 2, devices=jax.devices()[:4])
-    state = shard_model_state(state, mesh)
+    state_sh = shard_model_state(state, mesh)
     opt = OptimizationConfig(optical_lambda=0.0)
     step = make_spmd_train_step(cfg, settings, 32, opt,
                                 width=16, height=16, x_min=-0.4,
                                 y_min=-0.4, scale=20.0, mesh=mesh)
-    adam = adam_init((state.anchors, state.nets))
+    adam = shard_adam_state(adam_init((state_sh.anchors, state_sh.nets)),
+                            mesh)
+    stats = shard_train_stats(init_stats(64, cfg.n_offsets), mesh)
     lrs = {k: fn(1) for k, fn in build_schedules(opt).items()}
     gt = jnp.full((2, 3, 16, 16), 0.5)
     keys = jax.random.split(jax.random.PRNGKey(1), 2)
-    state, adam, metrics = step(
-        state, adam, lrs, jnp.zeros(2), jnp.full(2, 0.01), gt, gt, keys,
-        mode=GenerateMode.ENTROPY)
+    _, _, _, metrics = step(
+        state_sh, adam, stats, lrs, jnp.zeros(2), jnp.full(2, 0.01),
+        gt, gt, keys, mode=GenerateMode.ENTROPY)
     assert np.isfinite(float(metrics["loss"]))
-    assert float(metrics["bpp"]) > 0
+    bpp_sharded = float(metrics["bpp"])
+    assert bpp_sharded > 0
+
+    # count-weighted check: the sharded global rate must equal the
+    # single-device rate computed over the SAME windows (window caps
+    # differ between the two setups, so compare against a psum-free
+    # recomputation with identical per-slab windows)
+    from gsvc_tpu.render.batched import render_pair
+
+    def slab_rates(lo, hi):
+        import jax.tree_util as jtu
+        sl = jax.tree.map(lambda x: x[lo:hi], state.anchors)
+        st = state._replace(anchors=sl)
+        pr = render_pair(st, cfg, 0.0, 0.01, -0.4, -0.4, 20.0,
+                         settings, 32, GenerateMode.ENTROPY,
+                         jax.random.fold_in(keys[0], 0), rasterizer="jnp")
+        return pr.renders
+
+    # per-slab sums pooled by hand == count-weighted expectation
+    tot_bits, tot_params = 0.0, 0.0
+    for lo in range(0, 64, 32):
+        renders = slab_rates(lo, lo + 32)
+        for r in renders:
+            tot_bits += float(r.rate.bits_total)
+            tot_params += float(r.rate.params_total)
+    manual = tot_bits / max(tot_params, 1.0)
+    # not bit-identical (different key folding), but the magnitude must
+    # match a count-weighted pooling, not a slab-equal average
+    assert 0.2 * manual < bpp_sharded < 5.0 * manual
+
+
+def test_gop_parallel_step_matches_independent_fits():
+    """GOP fan-out over dp: shards run INDEPENDENT models; each GOP's
+    loss matches running the single-chip step on that GOP alone."""
+    from gsvc_tpu.train.trainer import make_train_step, init_stats as istats
+
+    n_gops = 2
+    cfgs_states = [make_state(n=64, capacity=64, seed=10 + i)
+                   for i in range(n_gops)]
+    cfg = cfgs_states[0][0]
+    states = [s for _, s in cfgs_states]
+    settings = make_raster_settings(cfg, 16, 16, tile_h=8, tile_w=16,
+                                    gaussian_cap=64, chunk=16)
+    opt = OptimizationConfig(optical_lambda=0.0)
+    mesh = make_mesh(n_gops, 1, devices=jax.devices()[:n_gops])
+    geom = dict(x_min=-0.4, y_min=-0.4, scale=20.0)
+
+    step = make_gop_parallel_step(cfg, settings, 64, opt, width=16,
+                                  height=16, **geom, mesh=mesh)
+    stacked = stack_states(states)
+    adams = adam_init((stacked.anchors, stacked.nets))
+    lrs = {k: fn(1) for k, fn in build_schedules(opt).items()}
+
+    rng = np.random.default_rng(0)
+    gts = jnp.asarray(rng.uniform(0.2, 0.8, (n_gops, 3, 16, 16)),
+                      jnp.float32)
+    z1 = jnp.zeros(n_gops)
+    z2 = jnp.full(n_gops, 0.01)
+    keys = jax.random.split(jax.random.PRNGKey(5), n_gops)
+
+    stacked, adams, metrics = step(stacked, adams, lrs, z1, z2, gts, gts,
+                                   keys, mode=GenerateMode.FULL_PRECISION)
+    fanout_losses = np.asarray(metrics["loss"])
+
+    # reference: single-chip steps, one per GOP
+    sstep = make_train_step(cfg, settings, 64, opt, width=16, height=16,
+                            **geom, rasterizer="jnp")
+    for i in range(n_gops):
+        st = states[i]
+        adam_i = adam_init((st.anchors, st.nets))
+        st2, _, _, m = sstep(st, adam_i, istats(64, cfg.n_offsets), lrs,
+                             z1[i], z2[i], gts[i], gts[i],
+                             jnp.zeros((2, 16, 16)), keys[i],
+                             mode=GenerateMode.FULL_PRECISION,
+                             do_stats=False)
+        np.testing.assert_allclose(fanout_losses[i], float(m.loss),
+                                   rtol=1e-4)
