@@ -78,12 +78,12 @@ def main():
     state = update_anchor_bound(state, x_min, y_min, -T / 2 / scale)
 
     window_cap = 16_384
+    # fp32 compute: with the v2 kernels (MXU accumulation + log-space
+    # transmittance) bf16 alpha measured slightly SLOWER on v5e — the
+    # cast passes outweigh the VPU savings at the reduced pass count
     settings = make_raster_settings(cfg, H, W, tile_h=8, tile_w=128,
                                     gaussian_cap=512, chunk=128,
                                     tiles_per_gaussian=32)
-    if on_tpu:
-        import dataclasses
-        settings = dataclasses.replace(settings, compute_dtype="bfloat16")
     opt = OptimizationConfig(optical_lambda=0.0)
     rasterizer = "pallas_train" if on_tpu else "jnp"
     step = make_train_step(cfg, settings, window_cap, opt, width=W,
@@ -99,9 +99,11 @@ def main():
     flow = jnp.zeros((2, H, W), jnp.float32)
     key = jax.random.PRNGKey(1)
 
-    def timed_phase(mode, iters=10):
+    def timed_phase(mode, iters=10, base_state=None):
         # the step donates its state args — give each phase its own copies
-        st, ad, sstats = jax.tree.map(jnp.copy, (state, adam, stats))
+        st, ad, sstats = jax.tree.map(
+            jnp.copy, (base_state if base_state is not None else state,
+                       adam, stats))
 
         def run_once(st, ad, sstats, z):
             return step(st, ad, sstats, lrs, z, z + 1.0 / scale, gt1, gt2,
@@ -120,6 +122,14 @@ def main():
 
     fp_its = timed_phase(GenerateMode.FULL_PRECISION)
     entropy_its = timed_phase(GenerateMode.ENTROPY)
+
+    # representative mid-fit content: scaling_reg shrinks gaussians over a
+    # fit, so tiles are NOT cap-saturated and the per-tile early exit is
+    # live.  Shrink the init scales 4x to emulate that regime (the primary
+    # metric above stays the round-1 worst-case workload for continuity).
+    state_rep = state._replace(anchors=state.anchors._replace(
+        scaling=state.anchors.scaling - float(np.log(4.0))))
+    rep_its = timed_phase(GenerateMode.FULL_PRECISION, base_state=state_rep)
 
     # decode fps: full-frame reconstruction with the inference kernel
     from gsvc_tpu.render.batched import render_frame_views
@@ -148,6 +158,7 @@ def main():
         "vs_baseline": round(fp_its / BASELINE_ITERS_PER_SEC, 3),
         "extra": {
             "entropy_it_per_sec": round(entropy_its, 3),
+            "representative_it_per_sec": round(rep_its, 3),
             "decode_fps": round(decode_fps, 2),
             "rasterizer": rasterizer,
             "compute_dtype": settings.compute_dtype,

@@ -150,6 +150,11 @@ class OptimizationConfig:
     min_opacity: float = 0.005
     success_threshold: float = 0.8
     densify_grad_threshold: float = 0.0005
+    # calibrate densify_grad_threshold at the first densify event so the
+    # candidate fraction matches the reference's growth dynamics in OUR
+    # (NDC) gradient units — see train/calibrate.py
+    auto_densify_threshold: bool = False
+    densify_target_fraction: float = 0.04
 
     mask_reg: float = 5e-4          # sigmoid-mask regularizer weight
 

@@ -426,3 +426,100 @@ def make_gop_parallel_step(cfg: GaussianConfig, settings: RasterSettings,
         return new_states, adams, metrics
 
     return step
+
+
+def fit_gops(mesh: Mesh, cfg, datasets, iterations: Optional[int] = None,
+             seed: int = 0, log_fn=None):
+    """Fit one INDEPENDENT model per GOP, mapped over the mesh's dp axis
+    (library-level counterpart of cli/train.py's sequential
+    _train_segmented loop; SURVEY §2.4 data-parallel GOP fitting).
+
+    ``datasets``: list of FrameCubeDataset, one per GOP, equal frame
+    geometry (GOP segments of one video).  len(datasets) must equal the
+    mesh's dp size.  Densification is not run under the fan-out (it
+    would desynchronize buffer shapes across GOPs); use it for the
+    schedule phases after growth stabilizes, or fit GOPs sequentially
+    when growing.  Returns (states, reports) — per-GOP ModelStates and
+    loss/psnr histories."""
+    import numpy as np
+
+    from gsvc_tpu.framecube import init_point_cloud
+    from gsvc_tpu.models.gaussians import init_model, update_anchor_bound
+    from gsvc_tpu.render.pipeline import make_raster_settings
+    from gsvc_tpu.train.fit import compute_window_cap
+    from gsvc_tpu.train.schedules import build_schedules
+
+    log = log_fn or (lambda *a: None)
+    g = len(datasets)
+    assert g == mesh.shape["dp"], \
+        f"need dp == n_gops ({g}), mesh has dp={mesh.shape['dp']}"
+    d0 = datasets[0]
+    gcfg = GaussianConfig.from_model_config(cfg.model)
+    opt = cfg.optimization
+    total = iterations if iterations is not None else opt.iterations
+
+    rng = np.random.default_rng(seed)
+    states, frame_zs, window_cap = [], [], 1
+    capacity = ((int(opt.init_anchor_num * 1.5) + 1023) // 1024) * 1024
+    for gi, ds in enumerate(datasets):
+        pts = init_point_cloud(ds.x_min, ds.y_min, ds.z_min,
+                               n=opt.init_anchor_num, rng=rng)
+        st = init_model(jax.random.PRNGKey(seed + gi), gcfg, pts, capacity,
+                        voxel_size=cfg.model.voxel_size)
+        st = update_anchor_bound(st, ds.x_min, ds.y_min, ds.z_min)
+        states.append(st)
+        zs = np.array([(i - ds.num_frames / 2) / ds.scale
+                       for i in range(ds.num_frames)], np.float32)
+        frame_zs.append(zs)
+        window_cap = max(window_cap, compute_window_cap(
+            np.asarray(st.anchors.anchor[:, 2]), int(st.n_active), zs,
+            gcfg.threshold))
+
+    settings = make_raster_settings(
+        gcfg, d0.height, d0.width, tile_h=cfg.pipeline.tile_h,
+        tile_w=cfg.pipeline.tile_w,
+        gaussian_cap=cfg.pipeline.visible_capacity or 1024,
+        chunk=cfg.pipeline.gaussian_chunk)
+    rasterizer = "pallas_train" if jax.default_backend() == "tpu" else "jnp"
+    step = make_gop_parallel_step(
+        gcfg, settings, window_cap, opt, width=d0.width, height=d0.height,
+        scale=d0.scale, x_min=d0.x_min, y_min=d0.y_min, mesh=mesh,
+        rasterizer=rasterizer)
+
+    stacked = stack_states(states)
+    stacked = jax.device_put(
+        stacked, NamedSharding(mesh, P("dp")))
+    adams = adam_init((stacked.anchors, stacked.nets))
+    schedules = build_schedules(opt, ste_binary=cfg.model.ste_binary)
+    key = jax.random.PRNGKey(seed)
+    reports = [[] for _ in range(g)]
+
+    for it in range(1, total + 1):
+        lrs = {k: fn(it) for k, fn in schedules.items()}
+        fidx = [int(rng.integers(0, max(ds.num_frames - 1, 1)))
+                for ds in datasets]
+        z1 = jnp.asarray([frame_zs[gi][fidx[gi]] for gi in range(g)])
+        z2 = jnp.asarray([
+            frame_zs[gi][min(fidx[gi] + 1, datasets[gi].num_frames - 1)]
+            for gi in range(g)])
+        gt1 = jnp.asarray(np.stack([
+            datasets[gi].images[fidx[gi]].transpose(2, 0, 1)
+            for gi in range(g)]))
+        gt2 = jnp.asarray(np.stack([
+            datasets[gi].images[
+                min(fidx[gi] + 1, datasets[gi].num_frames - 1)
+            ].transpose(2, 0, 1) for gi in range(g)]))
+        key, sk = jax.random.split(key)
+        keys = jax.random.split(sk, g)
+        stacked, adams, metrics = step(
+            stacked, adams, lrs, z1, z2, gt1, gt2, keys,
+            mode=GenerateMode.FULL_PRECISION)
+        if it % 50 == 0 or it == total:
+            loss = np.asarray(metrics["loss"])
+            psnr_v = np.asarray(metrics["psnr"])
+            for gi in range(g):
+                reports[gi].append({"iter": it, "loss": float(loss[gi]),
+                                    "psnr": float(psnr_v[gi])})
+            log(f"iter {it}: losses={np.round(loss, 5).tolist()}")
+
+    return unstack_states(stacked, g), reports

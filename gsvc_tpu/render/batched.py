@@ -42,7 +42,7 @@ from gsvc_tpu.models.gaussians import (
 from gsvc_tpu.render.pipeline import RenderResults
 from gsvc_tpu.render.splat import (
     RasterSettings, _bin_gaussians, assemble_views, composite_tiles_jnp,
-    gather_tile_planes, project_gaussians,
+    project_gaussians,
 )
 
 
@@ -60,53 +60,68 @@ def can_mirror(settings: RasterSettings) -> bool:
     return settings.image_width == settings.n_tiles_x * settings.tile_w
 
 
-def flip_planes_from_forward(planes, tile_lists, tile_counts,
-                             settings: RasterSettings,
-                             means2d_flip: Optional[jnp.ndarray] = None):
-    """Derive the x-flipped view's [T, cap] planes from the forward ones.
-
-    Steps: mirror the tile axis, reverse each tile's depth order within
-    its count (flip reverses compositing order), mirror the x means, and
-    negate the conic cross term.  ``means2d_flip`` ([M, 2], normally a
-    zeros tensor) is added in the flip view's own screen coordinates so
-    its cotangent carries that view's densification screen-gradients."""
+def flip_tile_lists(tile_lists, tile_counts, settings: RasterSettings):
+    """Integer-only derivation of the flip view's [T, cap] id lists:
+    mirror the tile axis and reverse each tile's depth order within its
+    count (the flip view composites the same gaussians back-to-front).
+    No gradients flow here — all value-level flip work happens on the
+    per-gaussian attribute rows instead (flip_attr_rows)."""
     perm = jnp.asarray(_mirror_tile_perm(settings))
     counts_f = tile_counts[perm]
     lists_m = tile_lists[perm]
     cap = settings.gaussian_cap
     j = jnp.arange(cap, dtype=jnp.int32)[None, :]
     rev = jnp.where(j < counts_f[:, None], counts_f[:, None] - 1 - j, j)
+    return jnp.take_along_axis(lists_m, rev, axis=1), counts_f
 
-    def rev_take(p):
-        return jnp.take_along_axis(p[perm], rev, axis=1)
 
-    mux, muy, ca, cb, cc, op, cr, cg, c_b = (rev_take(p) for p in planes)
+def flip_attr_rows(attr_fwd, settings: RasterSettings,
+                   means2d_flip: Optional[jnp.ndarray] = None):
+    """Per-GAUSSIAN attribute rows of the x-flipped view from the forward
+    ones: mirror the x mean, negate the conic cross term; everything else
+    is mirror-invariant.  ``means2d_flip`` ([M, 2], normally zeros) is
+    added in the flip view's own screen coordinates so its cotangent
+    carries that view's densification screen-gradients."""
     w_span = settings.n_tiles_x * settings.tile_w
-    mux = (w_span - 1) - mux
-    cb = -cb
+    mux = (w_span - 1) - attr_fwd[:, 0]
+    muy = attr_fwd[:, 1]
     if means2d_flip is not None:
-        ids = jnp.take_along_axis(lists_m, rev, axis=1)
-        safe = jnp.maximum(ids, 0)
-        keep = ids >= 0
-        mux = mux + jnp.where(keep, means2d_flip[:, 0][safe], 0.0)
-        muy = muy + jnp.where(keep, means2d_flip[:, 1][safe], 0.0)
-    return (mux, muy, ca, cb, cc, op, cr, cg, c_b), counts_f
+        mux = mux + means2d_flip[:, 0]
+        muy = muy + means2d_flip[:, 1]
+    return jnp.concatenate([
+        mux[:, None], muy[:, None], attr_fwd[:, 2:3], -attr_fwd[:, 3:4],
+        attr_fwd[:, 4:5], attr_fwd[:, 5:9]], axis=1)
 
 
 def _frame_views(gss: GeneratedGaussians, frame_z, x_min, y_min, scale,
                  settings: RasterSettings, m2d_fwd, m2d_flip):
     """(planes, counts) for the forward and flip views of one frame, plus
     the forward projection (radii are mirror-invariant)."""
+    from gsvc_tpu.render.splat import (
+        attr_rows_from_proj, gather_tile_planes_rows,
+    )
+
+    # project WITHOUT means2d: the per-view zero tensors are added at the
+    # attribute-row level below so each view's screen-gradient cotangent
+    # stays its own (adding m2d_fwd before the mirror would leak the flip
+    # view's x-gradients, negated, into the forward stats)
     proj = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
                              frame_z, x_min, y_min, scale, settings,
-                             flip=False, means2d=m2d_fwd)
+                             flip=False)
     opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
     tile_lists, counts, overflow, n_rendered = _bin_gaussians(proj, settings)
-    planes_f = gather_tile_planes(proj, opacity, gss.color, tile_lists)
+    attr_base = attr_rows_from_proj(proj, opacity, gss.color)
+    attr_fwd = attr_base
+    if m2d_fwd is not None:
+        attr_fwd = jnp.concatenate(
+            [attr_base[:, 0:1] + m2d_fwd[:, 0:1],
+             attr_base[:, 1:2] + m2d_fwd[:, 1:2], attr_base[:, 2:]], axis=1)
+    planes_f = gather_tile_planes_rows(attr_fwd, tile_lists)
 
     if can_mirror(settings):
-        planes_b, counts_b = flip_planes_from_forward(
-            planes_f, tile_lists, counts, settings, m2d_flip)
+        lists_b, counts_b = flip_tile_lists(tile_lists, counts, settings)
+        attr_b = flip_attr_rows(attr_base, settings, m2d_flip)
+        planes_b = gather_tile_planes_rows(attr_b, lists_b)
     else:
         # image width not tile-aligned: mirror is inexact -> bin the flip
         # view independently (second sort, still one composite launch)
@@ -115,7 +130,8 @@ def _frame_views(gss: GeneratedGaussians, frame_z, x_min, y_min, scale,
                                    flip=True, means2d=m2d_flip)
         opacity_b = jnp.where(proj_b.valid[:, None], gss.opacity, 0.0)
         lists_b, counts_b, ovf_b, _ = _bin_gaussians(proj_b, settings)
-        planes_b = gather_tile_planes(proj_b, opacity_b, gss.color, lists_b)
+        planes_b = gather_tile_planes_rows(
+            attr_rows_from_proj(proj_b, opacity_b, gss.color), lists_b)
         overflow = overflow + ovf_b
     return planes_f, counts, planes_b, counts_b, proj, overflow, n_rendered
 

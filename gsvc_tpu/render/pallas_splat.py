@@ -216,13 +216,16 @@ def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool):
     c_end, t_final, acc = jax.lax.while_loop(cond, body, (0, t0, acc0))
 
     if save_tchk:
-        # fill checkpoints for chunks after early exit with the final T
+        # fill checkpoints for chunks after early exit with the final T,
+        # and store the EXACT final transmittance in the extra last row
+        # (the backward reads it instead of replaying the last chunk)
         def fill_body(ci, _):
             @pl.when(ci >= c_end)
             def _():
                 tchk_ref[0, ci, :] = t_final[0]
             return 0
         jax.lax.fori_loop(0, n_chunks, fill_body, 0)
+        tchk_ref[0, n_chunks, :] = t_final[0]
 
     out_ref[0, 0:3, :] = acc + t_final * settings.bg
     out_ref[0, 3, :] = t_final[0]
@@ -274,13 +277,17 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
         t_before = t_start * excl
         return scalars, alpha32, act, t_before, t_start, chunk_t
 
-    def last_chunk_tfinal():
-        c = jnp.maximum(n_used - 1, 0)
-        _, _, _, _, t_start, chunk_t = replay(c)
-        return t_start * chunk_t
-
-    t_final = last_chunk_tfinal()
+    # exact T_final from the forward's extra checkpoint row
+    t_final = tchk_ref[0, n_chunks, :][None, :]
     a_init = t_final * (bg * g_sum + g_t)
+
+    # skip chunks the forward never reached / that start fully dead:
+    # max T < T_EPS at a chunk's start means every w in it is zero and
+    # all its gradients stay at the zero-initialized refs
+    def last_live(c, best):
+        t_max = jnp.max(tchk_ref[0, c, :])
+        return jnp.where(t_max >= T_EPS, c, best)
+    c_hot = jax.lax.fori_loop(0, n_used, last_live, jnp.int32(-1))
 
     def body(state):
         c, a_acc = state
@@ -342,7 +349,7 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
         c, _ = state
         return c >= 0
 
-    jax.lax.while_loop(cond, body, (n_used - 1, a_init))
+    jax.lax.while_loop(cond, body, (c_hot, a_init))
 
 
 # ---------------------------------------------------------------------------
@@ -375,11 +382,12 @@ def _composite_call(settings: RasterSettings, planes, tile_counts,
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((n_grid, 4, p), jnp.float32)]
     if save_tchk:
+        # +1 row: the exact final transmittance (see _fwd_kernel)
         out_specs.append(
-            pl.BlockSpec((1, n_chunks, p), lambda g, counts: (g, 0, 0),
+            pl.BlockSpec((1, n_chunks + 1, p), lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
-            jax.ShapeDtypeStruct((n_grid, n_chunks, p), jnp.float32))
+            jax.ShapeDtypeStruct((n_grid, n_chunks + 1, p), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(n_grid,),
@@ -410,7 +418,7 @@ def _composite_call_bwd(settings: RasterSettings, planes, tile_counts,
         in_specs=[_plane_spec(cap)] * 9 + [
             pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_chunks, p), lambda g, counts: (g, 0, 0),
+            pl.BlockSpec((1, n_chunks + 1, p), lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[_plane_spec(cap)] * 9,

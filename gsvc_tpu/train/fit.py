@@ -161,6 +161,19 @@ class GOPFitter:
             "offset_denom": np.asarray(self.stats.offset_denom)[:n * k].copy(),
         }
 
+        opt = self.cfg.optimization
+        if opt.auto_densify_threshold and not getattr(
+                self, "_threshold_calibrated", False):
+            from gsvc_tpu.train.calibrate import calibrate_densify_threshold
+
+            new_thr = calibrate_densify_threshold(
+                stats, opt, opt.densify_target_fraction)
+            self.log(f"densify threshold calibrated: "
+                     f"{opt.densify_grad_threshold:.6f} -> {new_thr:.6f} "
+                     f"(target fraction {opt.densify_target_fraction})")
+            opt.densify_grad_threshold = new_thr
+            self._threshold_calibrated = True
+
         res = adjust_anchors(anchors, adam_m, adam_v, stats, self.cfg.model,
                              self.cfg.optimization, self.voxel_size, self.rng)
         resort_by_z(anchors, adam_m, adam_v, stats, k)

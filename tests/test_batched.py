@@ -136,3 +136,41 @@ def test_entropy_mode_runs():
     # views of one frame share generation (and therefore the rate pack)
     assert float(pr.renders[0].rate.bit_per_param) == \
         float(pr.renders[1].rate.bit_per_param)
+
+
+def test_means2d_gradients_stay_per_view():
+    """Each view's means2d cotangent must carry ONLY that view's screen
+    gradients (the densification statistic); the mirror derivation must
+    not leak the flip view's gradients into the forward slot."""
+    state, cfg = tiny_model(seed=9)
+    settings = settings_for(cfg, 48)
+    rows = WINDOW_CAP * cfg.n_offsets
+    w = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+
+    def loss_batched(m2d):
+        pr = render_pair(state, cfg, Z1, Z2, settings=settings,
+                         window_cap=WINDOW_CAP,
+                         mode=GenerateMode.FULL_PRECISION, key=None,
+                         rasterizer="jnp", means2d=m2d, **GEOM)
+        return jnp.sum(w[:, None, None, None] * pr.images ** 2)
+
+    g = jax.grad(loss_batched)(jnp.zeros((4, rows, 2)))
+
+    views = [(Z1, False), (Z1, True), (Z2, False), (Z2, True)]
+    for vi, (z, flip) in enumerate(views):
+        def loss_ref(mv, z=z, flip=flip, wv=w[vi]):
+            r = render_frame(state, cfg, z, settings=settings,
+                             window_cap=WINDOW_CAP,
+                             mode=GenerateMode.FULL_PRECISION,
+                             flip=flip, rasterizer="jnp", means2d=mv,
+                             **GEOM)
+            return wv * jnp.sum(r.image ** 2)
+
+        # atol 2e-4: the flip view's pixel coordinate differs by ~1 ulp
+        # from the direct flipped projection, which can flip a gaussian
+        # across the ALPHA_MIN cutoff and discretely change its (tiny)
+        # screen gradient
+        g_ref = jax.grad(loss_ref)(jnp.zeros((rows, 2)))
+        np.testing.assert_allclose(np.asarray(g[vi]), np.asarray(g_ref),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=f"view {vi}")

@@ -228,3 +228,26 @@ def test_gop_parallel_step_matches_independent_fits():
                              do_stats=False)
         np.testing.assert_allclose(fanout_losses[i], float(m.loss),
                                    rtol=1e-4)
+
+
+def test_fit_gops_smoke():
+    """Library-level GOP fan-out: two GOPs fit in parallel over dp."""
+    from gsvc_tpu.config import Config, PipelineConfig
+    from gsvc_tpu.framecube import FrameCubeDataset
+    from gsvc_tpu.parallel.spmd import fit_gops
+    from tests.test_train import small_config, synthetic_video
+
+    cfg = small_config(iterations=20)
+    cfg.pipeline = PipelineConfig(tile_h=8, tile_w=16, visible_capacity=64,
+                                  gaussian_chunk=16)
+    datasets = [FrameCubeDataset(images=synthetic_video(t=4, seed=s))
+                for s in (0, 1)]
+    mesh = make_mesh(2, 1, devices=jax.devices()[:2])
+    states, reports = fit_gops(mesh, cfg, datasets, iterations=20, seed=0)
+    assert len(states) == 2 and len(reports) == 2
+    for rep in reports:
+        assert rep, "per-GOP history must be recorded"
+        assert np.isfinite(rep[-1]["loss"])
+    # independent GOPs diverge
+    assert not np.allclose(np.asarray(states[0].anchors.feat),
+                           np.asarray(states[1].anchors.feat))
