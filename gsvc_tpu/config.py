@@ -61,9 +61,12 @@ class PipelineConfig:
 
     # --- TPU execution knobs (no reference counterpart) ---
     visible_capacity: int = 0       # 0 = auto: padded TSW window size
-    gaussian_chunk: int = 256       # gaussians per compositing chunk
-    tile_h: int = 64                # image tile height for the splat kernel
-    tile_w: int = 256               # image tile width (lane-dim friendly)
+    gaussian_chunk: int = 128       # gaussians per compositing chunk
+    # 8x128 px tiles: the Pallas kernels hold [chunk, tile_h*tile_w]
+    # intermediates in VMEM — tile_h * tile_w * gaussian_chunk * 4 B must
+    # stay well under the ~16 MB VMEM budget (8*128*128*4 = 512 KB)
+    tile_h: int = 8                 # image tile height for the splat kernel
+    tile_w: int = 128               # image tile width (= lane dim)
     use_pallas: bool = True         # pallas splat kernel vs pure-JAX fallback
     mesh_shape: str = ""            # e.g. "dp=4,tp=2"; "" = single chip
 

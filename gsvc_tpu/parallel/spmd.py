@@ -447,6 +447,7 @@ def fit_gops(mesh: Mesh, cfg, datasets, iterations: Optional[int] = None,
     from gsvc_tpu.models.gaussians import init_model, update_anchor_bound
     from gsvc_tpu.render.pipeline import make_raster_settings
     from gsvc_tpu.train.fit import compute_window_cap
+    from gsvc_tpu.train.optim import adam_init
     from gsvc_tpu.train.schedules import build_schedules
 
     log = log_fn or (lambda *a: None)

@@ -74,18 +74,21 @@ def _tri_excl_lower(chunk):
             ).astype(jnp.float32)
 
 
-def _trans_chunk(alpha32, chunk):
+def _trans_chunk(alpha32, chunk, with_total: bool = True):
     """In-chunk transmittance factors from fp32 alpha.
 
-    Returns (excl [C,P]: prod_{j<i}(1-alpha_j), chunk_total [1,P]).
-    Log-space with the exclusive cumsum as a strictly-lower-triangular
-    matmul: 2 transcendental passes + one MXU op, versus log2(C)
-    roll+mul+select rounds for a direct Hillis-Steele cumprod (and
-    Mosaic's rotate has no sub-32-bit support anyway).  ALPHA_MAX = 0.99
-    bounds log1p at ~-4.6, so the [C,P] sums stay well-conditioned."""
+    Returns (excl [C,P]: prod_{j<i}(1-alpha_j), chunk_total [1,P] or
+    None).  Log-space with the exclusive cumsum as a strictly-lower-
+    triangular matmul: 2 transcendental passes + one MXU op, versus
+    log2(C) roll+mul+select rounds for a direct Hillis-Steele cumprod
+    (and Mosaic's rotate has no sub-32-bit support anyway).
+    ALPHA_MAX = 0.99 bounds log1p at ~-4.6, so the [C,P] sums stay
+    well-conditioned."""
     l = jnp.log1p(-alpha32)                       # [C, P]
     s_excl = _mm(_tri_excl_lower(chunk), l)       # MXU exclusive cumsum
     excl = jnp.exp(s_excl)
+    if not with_total:
+        return excl, None
     total = jnp.sum(l, axis=0, keepdims=True)     # [1, P]
     return excl, jnp.exp(total)
 
@@ -272,10 +275,10 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
         alpha, act, _, _ = _chunk_alpha(scalars, xs, ys,
                                         settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
-        excl, chunk_t = _trans_chunk(alpha32, chunk)
+        excl, _ = _trans_chunk(alpha32, chunk, with_total=False)
         t_start = tchk_ref[0, c, :][None, :]
         t_before = t_start * excl
-        return scalars, alpha32, act, t_before, t_start, chunk_t
+        return scalars, alpha32, act, t_before
 
     # exact T_final from the forward's extra checkpoint row
     t_final = tchk_ref[0, n_chunks, :][None, :]
@@ -292,7 +295,7 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
     def body(state):
         c, a_acc = state
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
-        scalars, alpha32, act, t_before, _, _ = replay(c)
+        scalars, alpha32, act, t_before = replay(c)
         mu_x, mu_y, con_a, con_b, con_c, op = scalars[:6]
 
         live = t_before >= T_EPS
@@ -307,8 +310,12 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
         a_i = a_acc + _mm(tri_up, wgc)                        # suffix (MXU)
 
         one_m32 = jnp.maximum(1.0 - alpha32, 1e-6)
+        # approx reciprocal: ~12-bit, well below the training tolerance;
+        # replaces a full-precision VPU divide per element
+        inv_one_m = pl.reciprocal(one_m32, approx=True) \
+            if jax.default_backend() == "tpu" else 1.0 / one_m32
         d_alpha = jnp.where(live & act,
-                            gc * t_before - a_i / one_m32, 0.0)
+                            gc * t_before - a_i * inv_one_m, 0.0)
         dq = d_alpha * alpha32 * (-0.5)                       # [C, P]
 
         m = _mm_rhs_t(dq, basis)                              # [C, 8] moments

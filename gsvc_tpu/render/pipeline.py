@@ -45,6 +45,15 @@ def make_raster_settings(cfg: GaussianConfig, image_height: int,
                          bg=0.0) -> RasterSettings:
     # chunk must be a multiple of 128 for the Pallas kernels (lane-aligned
     # dynamic slices); the jnp compositor accepts any divisor of cap
+    vmem_est = tile_h * tile_w * chunk * 4 * 10  # ~10 live [C,P] f32 bufs
+    if vmem_est > 14 * 2 ** 20:
+        import warnings
+
+        warnings.warn(
+            f"tile {tile_h}x{tile_w} with chunk {chunk} needs ~"
+            f"{vmem_est / 2**20:.0f} MB of VMEM scratch in the Pallas "
+            f"compositing kernels (budget ~16 MB); use smaller tiles "
+            f"(e.g. 8x128) or a smaller chunk", stacklevel=2)
     return RasterSettings(
         image_height=image_height, image_width=image_width,
         threshold=cfg.threshold, kernel_size=cfg.kernel_size,
