@@ -87,9 +87,12 @@ def init_grid_params(key, spec: HashGridSpec, std: float = 1e-4) -> jnp.ndarray:
                               jnp.float32, -std, std)
 
 
-def _level_encode(x, emb_level, res: int, level_size: int, num_dim: int):
-    """Interpolate one level.  x: [N, D] in [0,1]; emb_level: [S, F]."""
-    n = x.shape[0]
+def _level_indices(x, res: int, level_size: int, level_offset: int,
+                   num_dim: int):
+    """Corner (index, weight) pairs for one level.
+
+    Returns (idx [N, C] int32 rows into the FLAT multi-level table,
+    w [N, C] interpolation weights with border corners zeroed)."""
     pos = x * (res - 2) + 0.5
     pos_grid = jnp.floor(pos)
     frac = pos - pos_grid
@@ -98,10 +101,9 @@ def _level_encode(x, emb_level, res: int, level_size: int, num_dim: int):
     use_hash = (res ** num_dim) > level_size
     n_corners = 1 << num_dim
 
-    outs = jnp.zeros((n, emb_level.shape[1]), dtype=emb_level.dtype)
-    wn = jnp.zeros((n, 1), dtype=x.dtype)
+    idxs, ws = [], []
     for corner in range(n_corners):
-        w = jnp.ones((n,), dtype=x.dtype)
+        w = jnp.ones((x.shape[0],), dtype=x.dtype)
         coords = []
         for d in range(num_dim):
             if (corner >> d) & 1:
@@ -115,38 +117,52 @@ def _level_encode(x, emb_level, res: int, level_size: int, num_dim: int):
         valid = jnp.all((coords > 0) & (coords < res - 1), axis=-1)
 
         if use_hash:
-            h = jnp.zeros((n,), dtype=jnp.uint32)
+            h = jnp.zeros((x.shape[0],), dtype=jnp.uint32)
             for d in range(num_dim):
                 h = h ^ (coords[:, d].astype(jnp.uint32) *
                          jnp.uint32(_PRIMES[d]))
             idx = (h % jnp.uint32(level_size)).astype(jnp.int32)
         else:
             stride = 1
-            idx = jnp.zeros((n,), dtype=jnp.int32)
+            idx = jnp.zeros((x.shape[0],), dtype=jnp.int32)
             for d in range(num_dim):
                 idx = idx + coords[:, d] * stride
                 stride *= res
             idx = idx % level_size
 
-        w = jnp.where(valid, w, 0.0)
-        vals = jnp.take(emb_level, idx, axis=0)  # [N, F]
-        outs = outs + (w[:, None] * vals).astype(outs.dtype)
-        wn = wn + w[:, None]
-
-    return outs / jnp.maximum(wn, 1e-9)
+        idxs.append(idx + level_offset)
+        ws.append(jnp.where(valid, w, 0.0))
+    return jnp.stack(idxs, axis=1), jnp.stack(ws, axis=1)
 
 
 def hashgrid_encode(params: jnp.ndarray, x: jnp.ndarray,
                     spec: HashGridSpec) -> jnp.ndarray:
     """Encode positions through all levels.  x: [N, D] in [0,1].
-    Returns [N, L * F]."""
-    outs = []
+    Returns [N, L * F].
+
+    All levels' corner lookups are batched into ONE row gather of the
+    flat table (L * 2^D rows per position) — on TPU the former
+    per-corner-per-level gathers (96 for a 12-level 3D grid) dominated
+    the entropy-phase step time."""
+    n = x.shape[0]
+    c = 1 << spec.num_dim
+    idx_all, w_all = [], []
     for lvl in range(spec.n_levels):
-        lo, hi = spec.level_offsets[lvl], spec.level_offsets[lvl + 1]
-        emb = params[lo:hi]
-        outs.append(_level_encode(x, emb, spec.resolutions[lvl],
-                                  spec.level_sizes[lvl], spec.num_dim))
-    return jnp.concatenate(outs, axis=-1)
+        idx, w = _level_indices(x, spec.resolutions[lvl],
+                                spec.level_sizes[lvl],
+                                spec.level_offsets[lvl], spec.num_dim)
+        idx_all.append(idx)
+        w_all.append(w)
+    idx_all = jnp.concatenate(idx_all, axis=1)     # [N, L*C]
+    w_all = jnp.concatenate(w_all, axis=1)         # [N, L*C]
+
+    vals = jnp.take(params, idx_all.reshape(-1), axis=0)
+    vals = vals.reshape(n, spec.n_levels, c, spec.n_features)
+    w_all = w_all.reshape(n, spec.n_levels, c)
+    outs = jnp.sum(vals * w_all[..., None], axis=2)       # [N, L, F]
+    wn = jnp.sum(w_all, axis=2, keepdims=True)            # [N, L, 1]
+    outs = outs / jnp.maximum(wn, 1e-9)
+    return outs.reshape(n, spec.n_levels * spec.n_features)
 
 
 # ---------------------------------------------------------------------------
