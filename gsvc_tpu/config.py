@@ -68,6 +68,11 @@ class PipelineConfig:
     tile_h: int = 8                 # image tile height for the splat kernel
     tile_w: int = 128               # image tile width (= lane dim)
     use_pallas: bool = True         # pallas splat kernel vs pure-JAX fallback
+    # grow raster capacities on persistent overflow (fit re-jits).  Turn
+    # off to keep a FIXED compute budget: early random-init iterations of
+    # large scenes oversubscribe tiles transiently and the drops heal as
+    # scaling_reg shrinks footprints
+    overflow_autogrow: bool = True
     mesh_shape: str = ""            # e.g. "dp=4,tp=2"; "" = single chip
 
 

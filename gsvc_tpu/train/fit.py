@@ -233,17 +233,48 @@ class GOPFitter:
     MAX_TILES_PER_GAUSSIAN = 128
 
     def _react_to_overflow(self, overflow: int, it: int,
-                           strikes_to_act: int = 2):
+                           strikes_to_act: int = 2,
+                           num_rendered: int = -1):
         """Tile-capacity overflow drops gaussians from the render
         (splat.py:_bin_gaussians).  Persistent nonzero overflow means the
         raster capacities are undersized for the scene: grow them and
         re-jit (padded-capacity epochs, SURVEY.md §7) instead of silently
-        rendering wrong."""
+        rendering wrong.  Symmetrically, once scaling_reg has shrunk the
+        gaussians a previously grown cap wastes compositing work forever
+        — shrink it back when tiles run persistently near-empty."""
         if overflow <= 0:
             self._overflow_strikes = 0
+            s = self.settings
+            base_cap = self.cfg.pipeline.visible_capacity or 1024
+            if (num_rendered >= 0 and s.gaussian_cap > base_cap
+                    and s.gaussian_cap > 2 * s.chunk):
+                avg_fill = num_rendered / (4.0 * s.n_tiles)
+                if avg_fill < s.gaussian_cap / 4:
+                    self._underfill_strikes = getattr(
+                        self, "_underfill_strikes", 0) + 1
+                    if self._underfill_strikes >= 5:
+                        new_cap = max(base_cap, s.gaussian_cap // 2,
+                                      2 * s.chunk)
+                        import dataclasses
+                        self.settings = dataclasses.replace(
+                            s, gaussian_cap=new_cap)
+                        self._build_step()
+                        self._underfill_strikes = 0
+                        self.log(f"iter {it}: tile fill {avg_fill:.0f} << "
+                                 f"cap {s.gaussian_cap}; shrinking "
+                                 f"gaussian_cap -> {new_cap} (re-jit)")
+                        return True
+                else:
+                    self._underfill_strikes = 0
             return False
         self._overflow_strikes += 1
         if self._overflow_strikes < strikes_to_act:
+            return False
+        if not self.cfg.pipeline.overflow_autogrow:
+            if self._overflow_strikes == strikes_to_act:
+                self.log(f"iter {it}: WARNING render overflow={overflow} "
+                         f"(autogrow disabled; drops heal as footprints "
+                         f"shrink)")
             return False
         s = self.settings
         new_cap = min(s.gaussian_cap * 2, self.MAX_GAUSSIAN_CAP)
@@ -336,7 +367,8 @@ class GOPFitter:
                          f"anchors={int(self.state.n_active)} "
                          f"overflow={ovf} "
                          f"({(time.time()-t0):.1f}s)")
-                self._react_to_overflow(ovf, it)
+                self._react_to_overflow(ovf, it,
+                                        num_rendered=int(m.num_rendered))
 
             if eval_every and it % eval_every == 0:
                 ev = self.evaluate(mode=mode)

@@ -49,3 +49,30 @@ def test_no_reaction_without_overflow():
     cap0 = fitter.settings.gaussian_cap
     fitter.fit(iterations=4, log_every=1)
     assert fitter.settings.gaussian_cap == cap0
+
+
+def test_cap_shrinks_when_tiles_underfilled():
+    from tests.test_train import small_config
+
+    cfg = small_config(iterations=4)
+    cfg.pipeline.visible_capacity = 64
+    ds = FrameCubeDataset(images=synthetic_video(t=4))
+    fitter = GOPFitter(cfg, ds, seed=0)
+    import dataclasses
+    fitter.settings = dataclasses.replace(fitter.settings, gaussian_cap=256)
+    fitter._build_step()
+    # five consecutive near-empty logs trigger the shrink
+    for i in range(5):
+        acted = fitter._react_to_overflow(0, it=i, num_rendered=100)
+    assert acted
+    assert fitter.settings.gaussian_cap == 128
+
+    # healthy fill does NOT shrink
+    fitter2 = GOPFitter(cfg, ds, seed=0)
+    fitter2.settings = dataclasses.replace(fitter2.settings,
+                                           gaussian_cap=256)
+    cap0 = fitter2.settings.gaussian_cap
+    for i in range(6):
+        fitter2._react_to_overflow(
+            0, it=i, num_rendered=200 * fitter2.settings.n_tiles * 4)
+    assert fitter2.settings.gaussian_cap == cap0
