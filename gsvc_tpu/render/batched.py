@@ -209,17 +209,56 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
         k1 = k2 = None
     m2 = (lambda i: means2d[i]) if means2d is not None else (lambda i: None)
 
-    frames = []
-    for z, k, mi in ((z1, k1, 0), (z2, k2, 2)):
+    from gsvc_tpu.render.splat import (
+        attr_rows_from_proj, gather_tile_planes_rows,
+    )
+
+    gens = []
+    for z, k in ((z1, k1), (z2, k2)):
         start, in_window = window_for_frame(state, cfg, z, window_cap)
         gss = generate_neural_gaussians(
             state, cfg, frame_z=z, cam_z=z, window_start=start,
             in_window=in_window, cap=window_cap, mode=mode, key=k,
             decoded=decoded)
-        pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
-            gss, z, x_min, y_min, scale, settings, m2(mi), m2(mi + 1))
-        frames.append((gss, start, in_window, pf, cf, pb, cb_, proj,
-                       ovf, nrend))
+        proj = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
+                                 z, x_min, y_min, scale, settings,
+                                 flip=False)
+        gens.append((gss, start, in_window, proj))
+
+    if can_mirror(settings):
+        # both frames' binning in ONE vmapped call (one batched sort)
+        proj_b = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                              gens[0][3], gens[1][3])
+        lists2, counts2, ovf2, nrend2 = jax.vmap(
+            lambda p: _bin_gaussians(p, settings))(proj_b)
+        frames = []
+        for fi, (gss, start, in_window, proj) in enumerate(gens):
+            tile_lists, counts = lists2[fi], counts2[fi]
+            opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
+            attr_base = attr_rows_from_proj(proj, opacity, gss.color)
+            m2d_fwd, m2d_flip = m2(2 * fi), m2(2 * fi + 1)
+            attr_fwd = attr_base
+            if m2d_fwd is not None:
+                attr_fwd = jnp.concatenate(
+                    [attr_base[:, 0:1] + m2d_fwd[:, 0:1],
+                     attr_base[:, 1:2] + m2d_fwd[:, 1:2],
+                     attr_base[:, 2:]], axis=1)
+            pf = gather_tile_planes_rows(attr_fwd, tile_lists)
+            lists_b, counts_b = flip_tile_lists(tile_lists, counts,
+                                                settings)
+            attr_b = flip_attr_rows(attr_base, settings, m2d_flip)
+            pb = gather_tile_planes_rows(attr_b, lists_b)
+            frames.append((gss, start, in_window, pf, counts, pb,
+                           counts_b, proj, ovf2[fi], nrend2[fi]))
+    else:
+        frames = []
+        for fi, (gss, start, in_window, _) in enumerate(gens):
+            z = (z1, z2)[fi]
+            pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
+                gss, z, x_min, y_min, scale, settings, m2(2 * fi),
+                m2(2 * fi + 1))
+            frames.append((gss, start, in_window, pf, cf, pb, cb_, proj,
+                           ovf, nrend))
 
     planes_all = tuple(
         jnp.concatenate([frames[0][3][i], frames[0][5][i],
