@@ -108,6 +108,26 @@ def _context_batch(state: ModelState, cfg: GaussianConfig, anchors):
     return ec
 
 
+def _context_batch_padded(state, cfg, anchors_np, size: int):
+    """_context_batch at a FIXED padded batch size.
+
+    Ragged trailing batches would compile one XLA program per distinct
+    model size — minutes each through a remote-compile tunnel.  Padding
+    to ``size`` keeps exactly one compiled shape per (size, model), and
+    encode/decode share the identical padded program so their contexts
+    stay bit-identical."""
+    a = np.asarray(anchors_np, np.float32)
+    n = a.shape[0]
+    if n < size:
+        pad = np.zeros((size, 3), np.float32)
+        pad[:n] = a
+        a = pad
+    ec = jax.device_get(_context_batch(state, cfg, jnp.asarray(a)))
+    if n < size:
+        ec = jax.tree.map(lambda v: v[:n], ec)
+    return ec
+
+
 def _symbol_range(mean: np.ndarray, q: np.ndarray) -> Tuple[int, int]:
     """calc_symbol_min_max (scene/gaussian_model.py:236-239)."""
     c = float(np.asarray(mean, np.float64).mean()
@@ -151,7 +171,7 @@ def _fullset_symbol_ranges(state, cfg, anchors_ordered,
     acc = np.zeros((3, 4), np.float64)  # per field: sum_m, n_m, sum_q, n_q
     for lo in range(0, n, chunk):
         a = anchors_ordered[lo:min(lo + chunk, n)]
-        ec = jax.device_get(_context_batch(state, cfg, jnp.asarray(a)))
+        ec = _context_batch_padded(state, cfg, a, chunk)
         fields = ((ec.mean_feat, Q_FEAT * ec.q_feat_adj),
                   (ec.mean_scaling, Q_SCALING * ec.q_scaling_adj),
                   (ec.mean_offsets, Q_OFFSETS * ec.q_offsets_adj))
@@ -181,8 +201,8 @@ def _encode_attribute_batches(state, cfg, anchors_ordered, feat, scaling,
 
     batch_ranges = []
     for s, (lo, hi) in enumerate(batches):
-        ec = jax.device_get(_context_batch(
-            state, cfg, jnp.asarray(anchors_ordered[lo:hi])))
+        ec = _context_batch_padded(state, cfg, anchors_ordered[lo:hi],
+                                   MAX_BATCH)
         qf = (Q_FEAT * ec.q_feat_adj).astype(np.float64)
         qs = (Q_SCALING * ec.q_scaling_adj).astype(np.float64)
         qo = (Q_OFFSETS * ec.q_offsets_adj).astype(np.float64)
@@ -389,8 +409,8 @@ def conduct_decoding(streams: Dict[str, bytes], cfg: GaussianConfig,
             mask_ordered[:] = 0.0
 
     for s, (lo, hi) in enumerate(batches):
-        ec = jax.device_get(_context_batch(
-            ctx_state, cfg, jnp.asarray(anchors_ordered[lo:hi])))
+        ec = _context_batch_padded(ctx_state, cfg, anchors_ordered[lo:hi],
+                                   MAX_BATCH)
         qf = (Q_FEAT * ec.q_feat_adj).astype(np.float64)
         qs = (Q_SCALING * ec.q_scaling_adj).astype(np.float64)
         qo = (Q_OFFSETS * ec.q_offsets_adj).astype(np.float64)

@@ -226,14 +226,13 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
         gens.append((gss, start, in_window, proj))
 
     if can_mirror(settings):
-        # both frames' binning in ONE vmapped call (one batched sort)
-        proj_b = jax.tree.map(lambda a, b: jnp.stack([a, b]),
-                              gens[0][3], gens[1][3])
-        lists2, counts2, ovf2, nrend2 = jax.vmap(
-            lambda p: _bin_gaussians(p, settings))(proj_b)
+        # per-frame binning: a vmapped 2-frame batched sort was measured
+        # 25% SLOWER end to end on v5e (bench 2.665 -> 2.0 it/s) — XLA's
+        # batched sort lowering loses to two sequential sorts here
         frames = []
         for fi, (gss, start, in_window, proj) in enumerate(gens):
-            tile_lists, counts = lists2[fi], counts2[fi]
+            tile_lists, counts, ovf_f, nrend_f = _bin_gaussians(
+                proj, settings)
             opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
             attr_base = attr_rows_from_proj(proj, opacity, gss.color)
             m2d_fwd, m2d_flip = m2(2 * fi), m2(2 * fi + 1)
@@ -249,7 +248,7 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
             attr_b = flip_attr_rows(attr_base, settings, m2d_flip)
             pb = gather_tile_planes_rows(attr_b, lists_b)
             frames.append((gss, start, in_window, pf, counts, pb,
-                           counts_b, proj, ovf2[fi], nrend2[fi]))
+                           counts_b, proj, ovf_f, nrend_f))
     else:
         frames = []
         for fi, (gss, start, in_window, _) in enumerate(gens):
