@@ -41,7 +41,7 @@ class RenderResults(NamedTuple):
 
 def make_raster_settings(cfg: GaussianConfig, image_height: int,
                          image_width: int, *, tile_h=16, tile_w=128,
-                         gaussian_cap=1024, chunk=128, tiles_per_gaussian=64,
+                         gaussian_cap=1024, chunk=128, tiles_per_gaussian=32,
                          bg=0.0) -> RasterSettings:
     # chunk must be a multiple of 128 for the Pallas kernels (lane-aligned
     # dynamic slices); the jnp compositor accepts any divisor of cap
