@@ -436,12 +436,18 @@ def generate_neural_gaussians(
     window_start, in_window, cap: int,
     mode: GenerateMode, key: Optional[jax.Array] = None,
     decoded: bool = False,
+    entropy_ctx: Optional[EntropyContext] = None,
 ) -> GeneratedGaussians:
     """Produce per-gaussian splat inputs for one frame window.
 
     Parity with generate_neural_gaussians (guassian.py:134-310) with the
     gather-free static-shape formulation: culled gaussians keep their rows
     with opacity<=0 / valid=False.
+
+    ``entropy_ctx``: optional precomputed EntropyContext for THIS window
+    (the context is pointwise per anchor, so callers rendering several
+    overlapping windows can slice one shared union query —
+    render/batched.py pair path).
     """
     k = cfg.n_offsets
     anchors = state.anchors
@@ -478,7 +484,8 @@ def generate_neural_gaussians(
         grid_offsets = uniform_noise_quantize(grid_offsets, q_offsets, k3,
                                               x_mean=offset_mean)
     elif mode in (GenerateMode.ENTROPY, GenerateMode.STE_ENTROPY):
-        ec = calc_entropy_context(state, cfg, anchor_w, decoded)
+        ec = entropy_ctx if entropy_ctx is not None else \
+            calc_entropy_context(state, cfg, anchor_w, decoded)
         if mode == GenerateMode.ENTROPY:
             q_feat = Q_FEAT * ec.q_feat_adj
             q_scaling = Q_SCALING * ec.q_scaling_adj

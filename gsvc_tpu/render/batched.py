@@ -184,6 +184,49 @@ def render_frame_views(state: ModelState, cfg: GaussianConfig, frame_z,
     return avg, images, ts, aux
 
 
+def _pair_entropy_contexts(state, cfg, s1, s2, cap: int, decoded: bool):
+    """Entropy contexts for two overlapping TSW windows from ONE query.
+
+    calc_entropy_context is pointwise per anchor (hash interp + MLPs, no
+    cross-anchor ops), so slicing a union-window query is exactly the
+    per-window computation.  A static SLACK bounds the union size; when
+    the frames' window starts differ by more than SLACK (degenerate
+    anchor pile-ups), a lax.cond falls back to two separate queries."""
+    from gsvc_tpu.models.gaussians import calc_entropy_context, get_anchor
+
+    capacity = state.anchors.anchor.shape[0]
+    slack = min(max(cap // 8, 64), capacity - cap)
+    anchor_q = get_anchor(state, decoded)
+    if slack <= 0:
+        # window spans the whole buffer: both starts are clipped to 0
+        a = jax.lax.dynamic_slice_in_dim(anchor_q, s1, cap, 0)
+        ec = calc_entropy_context(state, cfg, a, decoded)
+        return [ec, ec]
+    s_min = jnp.clip(jnp.minimum(s1, s2), 0, capacity - cap - slack)
+    shift_ok = jnp.maximum(s1, s2) - s_min <= slack
+
+    def union(_):
+        a = jax.lax.dynamic_slice_in_dim(anchor_q, s_min, cap + slack, 0)
+        ecu = calc_entropy_context(state, cfg, a, decoded)
+
+        def cut(off):
+            return jax.tree.map(
+                lambda v: jax.lax.dynamic_slice_in_dim(v, off, cap, 0),
+                ecu)
+
+        return cut(s1 - s_min), cut(s2 - s_min)
+
+    def separate(_):
+        def one(st):
+            a = jax.lax.dynamic_slice_in_dim(anchor_q, st, cap, 0)
+            return calc_entropy_context(state, cfg, a, decoded)
+
+        return one(s1), one(s2)
+
+    ec1, ec2 = jax.lax.cond(shift_ok, union, separate, None)
+    return [ec1, ec2]
+
+
 class PairRender(NamedTuple):
     """All four views of a frame pair, composited in one launch."""
 
@@ -213,13 +256,22 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
         attr_rows_from_proj, gather_tile_planes_rows,
     )
 
+    wins = [window_for_frame(state, cfg, z, window_cap) for z in (z1, z2)]
+    ecs = [None, None]
+    if mode in (GenerateMode.ENTROPY, GenerateMode.STE_ENTROPY):
+        # the two frames' TSW windows overlap almost entirely and the
+        # entropy context is pointwise per anchor: compute ONE context
+        # over the union window and slice both frames' views out of it
+        ecs = _pair_entropy_contexts(state, cfg, wins[0][0], wins[1][0],
+                                     window_cap, decoded)
+
     gens = []
-    for z, k in ((z1, k1), (z2, k2)):
-        start, in_window = window_for_frame(state, cfg, z, window_cap)
+    for fi, (z, k) in enumerate(((z1, k1), (z2, k2))):
+        start, in_window = wins[fi]
         gss = generate_neural_gaussians(
             state, cfg, frame_z=z, cam_z=z, window_start=start,
             in_window=in_window, cap=window_cap, mode=mode, key=k,
-            decoded=decoded)
+            decoded=decoded, entropy_ctx=ecs[fi])
         proj = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
                                  z, x_min, y_min, scale, settings,
                                  flip=False)

@@ -174,3 +174,33 @@ def test_means2d_gradients_stay_per_view():
         np.testing.assert_allclose(np.asarray(g[vi]), np.asarray(g_ref),
                                    rtol=2e-3, atol=2e-4,
                                    err_msg=f"view {vi}")
+
+
+def test_pair_entropy_contexts_match_direct():
+    """The union-window context slices must equal per-window queries,
+    in both the shared-union and fallback branches."""
+    import jax.numpy as jnp
+
+    from gsvc_tpu.models.gaussians import calc_entropy_context, get_anchor
+    from gsvc_tpu.render.batched import _pair_entropy_contexts
+
+    state, cfg = tiny_model(seed=13)
+    cap = 48  # < capacity(128) so slack > 0
+    anchor_q = get_anchor(state)
+
+    def direct(start):
+        a = jax.lax.dynamic_slice_in_dim(anchor_q, start, cap, 0)
+        return calc_entropy_context(state, cfg, a)
+
+    for s1, s2 in ((3, 7), (10, 10), (0, 70)):   # near, equal, fallback
+        ecs = _pair_entropy_contexts(state, cfg, jnp.asarray(s1),
+                                     jnp.asarray(s2), cap, False)
+        # the union query batches the MLP matmuls at a different size, so
+        # reassociation shifts a few elements by ~1e-4 relative — well
+        # inside training noise (the CODEC context path is separate and
+        # uses fixed padded batches on both sides)
+        for ec, st in zip(ecs, (s1, s2)):
+            ref = direct(st)
+            for a, b in zip(jax.tree.leaves(ec), jax.tree.leaves(ref)):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-3, atol=1e-5)
