@@ -56,7 +56,9 @@ def adjust_anchors(
     k = mc.n_offsets
     interval = opt.update_interval
 
-    grads = stats["offset_gradient_accum"] / stats["offset_denom"]
+    denom = stats["offset_denom"]
+    grads = np.divide(stats["offset_gradient_accum"], denom,
+                      out=np.zeros_like(denom), where=denom > 0)
     grads = np.nan_to_num(grads, nan=0.0, posinf=0.0, neginf=0.0)
     grads_norm = np.abs(grads[:, 0])
     offset_mask = (stats["offset_denom"][:, 0]
