@@ -105,15 +105,15 @@ def _mm_rhs_t(a, b):
                                preferred_element_type=jnp.float32)
 
 
-def _tile_coords(settings: RasterSettings):
-    """(xs_local[1,P], ys_local[1,P], cx, cy) for the current grid step.
+def _tile_coords(settings: RasterSettings, tile_id):
+    """(xs_local[1,P], ys_local[1,P], cx, cy) for one tile.
 
     Coordinates are TILE-CENTERED: the alpha math and the backward moment
     basis work entirely in local coordinates, which keeps magnitudes
     ~tile-sized (precision: bf16 deltas, fp32 moment cancellation)."""
     th, tw = settings.tile_h, settings.tile_w
     p = th * tw
-    tile_id = pl.program_id(0) % settings.n_tiles
+    tile_id = tile_id % settings.n_tiles
     tile_x = tile_id % settings.n_tiles_x
     tile_y = tile_id // settings.n_tiles_x
     cx = (tile_x * tw).astype(jnp.float32) + (tw - 1) / 2.0
@@ -124,19 +124,20 @@ def _tile_coords(settings: RasterSettings):
     return xs, ys, cx, cy
 
 
-def _chunk_scalars(planes_refs, sl, cx, cy):
-    """Load one chunk's per-gaussian scalars; means shifted tile-local."""
+def _chunk_scalars(planes_refs, t, sl, cx, cy):
+    """Load one chunk's per-gaussian scalars; means shifted tile-local.
+    ``t`` selects the tile row within a multi-tile block."""
     (mux_ref, muy_ref, cona_ref, conb_ref, conc_ref, op_ref,
      colr_ref, colg_ref, colb_ref) = planes_refs
-    mu_x = mux_ref[0, 0, sl] - cx          # [C] tile-local
-    mu_y = muy_ref[0, 0, sl] - cy
-    con_a = cona_ref[0, 0, sl]
-    con_b = conb_ref[0, 0, sl]
-    con_c = conc_ref[0, 0, sl]
-    op = op_ref[0, 0, sl]
-    col_r = colr_ref[0, 0, sl]
-    col_g = colg_ref[0, 0, sl]
-    col_b = colb_ref[0, 0, sl]
+    mu_x = mux_ref[t, 0, sl] - cx          # [C] tile-local
+    mu_y = muy_ref[t, 0, sl] - cy
+    con_a = cona_ref[t, 0, sl]
+    con_b = conb_ref[t, 0, sl]
+    con_c = conc_ref[t, 0, sl]
+    op = op_ref[t, 0, sl]
+    col_r = colr_ref[t, 0, sl]
+    col_g = colg_ref[t, 0, sl]
+    col_b = colb_ref[t, 0, sl]
     return mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b
 
 
@@ -179,59 +180,66 @@ def _chunk_alpha(scalars, xs, ys, compute_dtype):
 # per-chunk transmittance checkpoints for the backward replay)
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool):
+def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool,
+                tps: int = 1):
+    """``tps`` tiles are processed per grid step (blocks carry tps tile
+    rows) — amortizes per-grid-step scheduling/DMA overhead."""
     planes_refs = refs[:9]
     out_ref = refs[9]
     tchk_ref = refs[10] if save_tchk else None
     p = settings.tile_h * settings.tile_w
     chunk = settings.chunk
     n_chunks = settings.gaussian_cap // chunk
-    count = count_ref[pl.program_id(0)]
-    xs, ys, cx, cy = _tile_coords(settings)
 
-    def body(state):
-        c, t_carry, acc = state
+    for t in range(tps):
+        tile_id = pl.program_id(0) * tps + t
+        count = count_ref[tile_id]
+        xs, ys, cx, cy = _tile_coords(settings, tile_id)
+
+        def body(state, t=t, xs=xs, ys=ys, cx=cx, cy=cy, count=count):
+            c, t_carry, acc = state
+            if save_tchk:
+                tchk_ref[t, c, :] = t_carry[0]
+            sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
+            scalars = _chunk_scalars(planes_refs, t, sl, cx, cy)
+            alpha, _, _, _ = _chunk_alpha(scalars, xs, ys,
+                                          settings.compute_dtype)
+            alpha32 = alpha.astype(jnp.float32)
+            excl, chunk_t = _trans_chunk(alpha32, chunk)
+            t_before = t_carry * excl                         # [C, P] fp32
+            w = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
+            col_r, col_g, col_b = scalars[6:9]
+            cols3 = jnp.concatenate(
+                [col_r[None, :], col_g[None, :], col_b[None, :]], axis=0)
+            acc = acc + _mm(cols3, w)                         # MXU [3, P]
+            t_carry = t_carry * chunk_t
+            return c + 1, t_carry, acc
+
+        def cond(state, count=count):
+            c, t_carry, _ = state
+            return jnp.logical_and(
+                c < n_chunks,
+                jnp.logical_and(c * chunk < count,
+                                jnp.max(t_carry) >= T_EPS))
+
+        t0 = jnp.ones((1, p), jnp.float32)
+        acc0 = jnp.zeros((3, p), jnp.float32)
+        c_end, t_final, acc = jax.lax.while_loop(cond, body, (0, t0, acc0))
+
         if save_tchk:
-            tchk_ref[0, c, :] = t_carry[0]
-        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
-        scalars = _chunk_scalars(planes_refs, sl, cx, cy)
-        alpha, _, _, _ = _chunk_alpha(scalars, xs, ys, settings.compute_dtype)
-        alpha32 = alpha.astype(jnp.float32)
-        excl, chunk_t = _trans_chunk(alpha32, chunk)
-        t_before = t_carry * excl                             # [C, P] fp32
-        w = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
-        col_r, col_g, col_b = scalars[6:9]
-        cols3 = jnp.concatenate(
-            [col_r[None, :], col_g[None, :], col_b[None, :]], axis=0)
-        acc = acc + _mm(cols3, w)                             # MXU [3, P]
-        t_carry = t_carry * chunk_t
-        return c + 1, t_carry, acc
+            # fill checkpoints for chunks after early exit with the final
+            # T, and store the EXACT final transmittance in the extra
+            # last row (the backward reads it instead of replaying)
+            def fill_body(ci, _, t=t, t_final=t_final, c_end=c_end):
+                @pl.when(ci >= c_end)
+                def _():
+                    tchk_ref[t, ci, :] = t_final[0]
+                return 0
+            jax.lax.fori_loop(0, n_chunks, fill_body, 0)
+            tchk_ref[t, n_chunks, :] = t_final[0]
 
-    def cond(state):
-        c, t_carry, _ = state
-        return jnp.logical_and(
-            c < n_chunks,
-            jnp.logical_and(c * chunk < count,
-                            jnp.max(t_carry) >= T_EPS))
-
-    t0 = jnp.ones((1, p), jnp.float32)
-    acc0 = jnp.zeros((3, p), jnp.float32)
-    c_end, t_final, acc = jax.lax.while_loop(cond, body, (0, t0, acc0))
-
-    if save_tchk:
-        # fill checkpoints for chunks after early exit with the final T,
-        # and store the EXACT final transmittance in the extra last row
-        # (the backward reads it instead of replaying the last chunk)
-        def fill_body(ci, _):
-            @pl.when(ci >= c_end)
-            def _():
-                tchk_ref[0, ci, :] = t_final[0]
-            return 0
-        jax.lax.fori_loop(0, n_chunks, fill_body, 0)
-        tchk_ref[0, n_chunks, :] = t_final[0]
-
-    out_ref[0, 0:3, :] = acc + t_final * settings.bg
-    out_ref[0, 3, :] = t_final[0]
+        out_ref[t, 0:3, :] = acc + t_final * settings.bg
+        out_ref[t, 3, :] = t_final[0]
 
 
 # ---------------------------------------------------------------------------
@@ -243,14 +251,12 @@ def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool):
 #   computed as ONE [C,P] @ [P,6] matmul, then O(C) vector algebra.
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
+def _bwd_kernel(count_ref, *refs, settings: RasterSettings, tps: int = 1):
     planes_refs = refs[:9]
     g_ref, tchk_ref = refs[9], refs[10]
     grad_refs = refs[11:20]
     chunk = settings.chunk
     n_chunks = settings.gaussian_cap // chunk
-    count = count_ref[pl.program_id(0)]
-    xs, ys, cx, cy = _tile_coords(settings)
     tri_up = _tri_excl_upper(chunk)
     # in bf16 fast mode the backward's four matmuls (gc, suffix, moments,
     # dcol) take bf16 INPUTS with f32 accumulation: 4x MXU rate, ~0.4%
@@ -265,6 +271,19 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
                              b.astype(jnp.bfloat16))
     else:
         mm, mm_rhs_t = _mm, _mm_rhs_t
+    bg = settings.bg
+    for t in range(tps):
+        tile_id = pl.program_id(0) * tps + t
+        count = count_ref[tile_id]
+        xs, ys, cx, cy = _tile_coords(settings, tile_id)
+        _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
+                      tri_up, mm, mm_rhs_t, t, count, xs, ys, cx, cy,
+                      chunk, n_chunks, bg)
+
+
+def _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
+                  tri_up, mm, mm_rhs_t, t, count, xs, ys, cx, cy,
+                  chunk, n_chunks, bg):
     # pixel-polynomial basis rows: [1, xl, yl, xl^2, xl*yl, yl^2, 0, 0]
     zeros = jnp.zeros_like(xs)
     basis = jnp.concatenate(
@@ -272,36 +291,35 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
          zeros, zeros], axis=0)                               # [8, P]
 
     for r in grad_refs:
-        r[0, 0, :] = jnp.zeros((settings.gaussian_cap,), jnp.float32)
+        r[t, 0, :] = jnp.zeros((settings.gaussian_cap,), jnp.float32)
 
-    g3 = g_ref[0, 0:3, :]                                     # [3, P]
-    g_t = g_ref[0, 3, :][None, :]
+    g3 = g_ref[t, 0:3, :]                                     # [3, P]
+    g_t = g_ref[t, 3, :][None, :]
     g_sum = jnp.sum(g3, axis=0, keepdims=True)                # [1, P]
 
     n_used = jnp.minimum(
         (count + chunk - 1) // chunk, n_chunks).astype(jnp.int32)
-    bg = settings.bg
 
     def replay(c):
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
-        scalars = _chunk_scalars(planes_refs, sl, cx, cy)
+        scalars = _chunk_scalars(planes_refs, t, sl, cx, cy)
         alpha, act, _, _ = _chunk_alpha(scalars, xs, ys,
                                         settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
         excl, _ = _trans_chunk(alpha32, chunk, with_total=False)
-        t_start = tchk_ref[0, c, :][None, :]
+        t_start = tchk_ref[t, c, :][None, :]
         t_before = t_start * excl
         return scalars, alpha32, act, t_before
 
     # exact T_final from the forward's extra checkpoint row
-    t_final = tchk_ref[0, n_chunks, :][None, :]
+    t_final = tchk_ref[t, n_chunks, :][None, :]
     a_init = t_final * (bg * g_sum + g_t)
 
     # skip chunks the forward never reached / that start fully dead:
     # max T < T_EPS at a chunk's start means every w in it is zero and
     # all its gradients stay at the zero-initialized refs
     def last_live(c, best):
-        t_max = jnp.max(tchk_ref[0, c, :])
+        t_max = jnp.max(tchk_ref[t, c, :])
         return jnp.where(t_max >= T_EPS, c, best)
     c_hot = jax.lax.fori_loop(0, n_used, last_live, jnp.int32(-1))
 
@@ -352,15 +370,15 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
 
         dcol = mm_rhs_t(w, g3)                                # [C, 3]
 
-        grad_refs[0][0, 0, sl] = d_mux[:, 0]
-        grad_refs[1][0, 0, sl] = d_muy[:, 0]
-        grad_refs[2][0, 0, sl] = d_cona[:, 0]
-        grad_refs[3][0, 0, sl] = d_conb[:, 0]
-        grad_refs[4][0, 0, sl] = d_conc[:, 0]
-        grad_refs[5][0, 0, sl] = d_op[:, 0]
-        grad_refs[6][0, 0, sl] = dcol[:, 0]
-        grad_refs[7][0, 0, sl] = dcol[:, 1]
-        grad_refs[8][0, 0, sl] = dcol[:, 2]
+        grad_refs[0][t, 0, sl] = d_mux[:, 0]
+        grad_refs[1][t, 0, sl] = d_muy[:, 0]
+        grad_refs[2][t, 0, sl] = d_cona[:, 0]
+        grad_refs[3][t, 0, sl] = d_conb[:, 0]
+        grad_refs[4][t, 0, sl] = d_conc[:, 0]
+        grad_refs[5][t, 0, sl] = d_op[:, 0]
+        grad_refs[6][t, 0, sl] = dcol[:, 0]
+        grad_refs[7][t, 0, sl] = dcol[:, 1]
+        grad_refs[8][t, 0, sl] = dcol[:, 2]
 
         a_acc = a_acc + jnp.sum(wgc, axis=0, keepdims=True)
         return c - 1, a_acc
@@ -376,9 +394,15 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings):
 # pallas_call plumbing
 # ---------------------------------------------------------------------------
 
-def _plane_spec(cap):
-    return pl.BlockSpec((1, 1, cap), lambda g, counts: (g, 0, 0),
+def _plane_spec(cap, tps: int = 1):
+    return pl.BlockSpec((tps, 1, cap), lambda g, counts: (g, 0, 0),
                         memory_space=pltpu.VMEM)
+
+
+def _tiles_per_step(n_grid: int) -> int:
+    """Process 2 tiles per grid step when the grid divides evenly —
+    amortizes per-step scheduling/DMA overhead in the Mosaic grid loop."""
+    return 2 if n_grid % 2 == 0 else 1
 
 
 def _check_chunk(settings):
@@ -397,26 +421,28 @@ def _composite_call(settings: RasterSettings, planes, tile_counts,
     cap = settings.gaussian_cap
     p = settings.tile_h * settings.tile_w
     n_chunks = cap // settings.chunk
+    tps = _tiles_per_step(n_grid)
     planes3 = tuple(q[:, None, :] for q in planes)
-    out_specs = [pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
+    out_specs = [pl.BlockSpec((tps, 4, p), lambda g, counts: (g, 0, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((n_grid, 4, p), jnp.float32)]
     if save_tchk:
         # +1 row: the exact final transmittance (see _fwd_kernel)
         out_specs.append(
-            pl.BlockSpec((1, n_chunks + 1, p), lambda g, counts: (g, 0, 0),
+            pl.BlockSpec((tps, n_chunks + 1, p),
+                         lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM))
         out_shape.append(
             jax.ShapeDtypeStruct((n_grid, n_chunks + 1, p), jnp.float32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_grid,),
-        in_specs=[_plane_spec(cap)] * 9,
+        grid=(n_grid // tps,),
+        in_specs=[_plane_spec(cap, tps)] * 9,
         out_specs=out_specs,
     )
     res = pl.pallas_call(
         functools.partial(_fwd_kernel, settings=settings,
-                          save_tchk=save_tchk),
+                          save_tchk=save_tchk, tps=tps),
         grid_spec=grid_spec,
         out_shape=out_shape,
         interpret=jax.default_backend() != "tpu",
@@ -431,20 +457,22 @@ def _composite_call_bwd(settings: RasterSettings, planes, tile_counts,
     cap = settings.gaussian_cap
     p = settings.tile_h * settings.tile_w
     n_chunks = cap // settings.chunk
+    tps = _tiles_per_step(n_grid)
     planes3 = tuple(q[:, None, :] for q in planes)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_grid,),
-        in_specs=[_plane_spec(cap)] * 9 + [
-            pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
+        grid=(n_grid // tps,),
+        in_specs=[_plane_spec(cap, tps)] * 9 + [
+            pl.BlockSpec((tps, 4, p), lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_chunks + 1, p), lambda g, counts: (g, 0, 0),
+            pl.BlockSpec((tps, n_chunks + 1, p),
+                         lambda g, counts: (g, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=[_plane_spec(cap)] * 9,
+        out_specs=[_plane_spec(cap, tps)] * 9,
     )
     grads = pl.pallas_call(
-        functools.partial(_bwd_kernel, settings=settings),
+        functools.partial(_bwd_kernel, settings=settings, tps=tps),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((n_grid, 1, cap), jnp.float32)] * 9,
         interpret=jax.default_backend() != "tpu",
