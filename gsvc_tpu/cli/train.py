@@ -92,6 +92,10 @@ def main(argv=None):
                         help="split long videos into GOPs of this many "
                              "frames, fitting one model per GOP (the "
                              "reference fits UVG per segment)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help="SPMD mesh spec, e.g. 'dp=2,sp=4' (overrides "
+                             "pipeline.mesh_shape); anchors are z-slab "
+                             "sharded over sp, frame pairs batched over dp")
     args = parser.parse_args(argv)
 
     cfg = resolve_config(args)
@@ -119,7 +123,18 @@ def main(argv=None):
     log.info("dataset: %dx%d, %d frames", dataset.width, dataset.height,
              dataset.num_frames)
 
-    fitter = GOPFitter(cfg, dataset, seed=args.seed, log_fn=log.info)
+    mesh_spec = args.mesh or cfg.pipeline.mesh_shape
+    mesh = None
+    if mesh_spec:
+        from gsvc_tpu.parallel.spmd import make_mesh, parse_mesh_spec
+
+        axes = parse_mesh_spec(mesh_spec)
+        mesh = make_mesh(axes["dp"], axes["sp"])
+        log.info("SPMD mesh: dp=%d x sp=%d over %d devices",
+                 axes["dp"], axes["sp"], axes["dp"] * axes["sp"])
+
+    fitter = GOPFitter(cfg, dataset, seed=args.seed, log_fn=log.info,
+                       mesh=mesh)
     start_iter = 0
     if args.checkpoint:
         start_iter = load_checkpoint(args.checkpoint, fitter)

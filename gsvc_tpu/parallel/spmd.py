@@ -60,6 +60,20 @@ from gsvc_tpu.train.optim import AdamState, adam_update, build_lr_tree
 from gsvc_tpu.train.trainer import TrainStats, accumulate_stats, init_stats
 
 
+def parse_mesh_spec(spec: str) -> dict:
+    """'dp=2,sp=4' -> {'dp': 2, 'sp': 4} (the config.py ``mesh_shape``
+    knob and the CLI ``--mesh`` flag)."""
+    out = {"dp": 1, "sp": 1}
+    for part in spec.replace(" ", "").split(","):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        if k not in out:
+            raise ValueError(f"unknown mesh axis {k!r} (want dp/sp)")
+        out[k] = int(v)
+    return out
+
+
 def make_mesh(n_dp: int = 1, n_sp: int = 1,
               devices: Optional[list] = None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
@@ -149,8 +163,12 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
     # partial renders must use bg=0; background is added post-combine
     local_settings = RasterSettings(**{**settings.__dict__, "bg": 0.0})
     bg = settings.bg
+    use_optical = opt.optical_lambda != 0.0
 
-    def _pair_loss(params, aux_state, z1, z2, gt1, gt2, key, mode, m2d):
+    def _pair_loss(params, aux_state, z1, z2, gt1, gt2, flow, key, mode,
+                   m2d):
+        from gsvc_tpu.train.trainer import optical_flow_terms
+
         st = aux_state._replace(anchors=params[0], nets=params[1])
         pr = render_pair(st, cfg, z1, z2, x_min, y_min, scale,
                          local_settings, window_cap, mode, key,
@@ -165,6 +183,20 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
 
         l1 = jnp.mean(jnp.abs(image1 - gt1)) + jnp.mean(jnp.abs(image2 - gt2))
         dssim = (1.0 - ssim(image1, gt1)) + (1.0 - ssim(image2, gt2))
+
+        # optical-flow term: gaussian matching is slab-local (both windows
+        # slice the same local z-slab), so psum of (err sum, match count)
+        # gives the exact global masked mean of the single-chip objective
+        if use_optical:
+            r1f, r1b, r2f, r2b = renders
+            n_f = optical_flow_terms(r1f, r2f, flow, x_min, y_min, scale,
+                                     width, height, k)
+            n_b = optical_flow_terms(r1b, r2b, flow, x_min, y_min, scale,
+                                     width, height, k)
+            optical = (_psum_ratio(n_f[0], n_f[1])
+                       + _psum_ratio(n_b[0], n_b[1]))
+        else:
+            optical = jnp.zeros(())
 
         # regularizers: local masked sums, psum'd for exact global means
         scaling_reg = sum(
@@ -181,7 +213,8 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
 
         loss = ((1.0 - opt.lambda_dssim) * l1 + opt.lambda_dssim * dssim
                 + opt.scaling_reg * scaling_reg
-                + opt.opacity_reg * opacity_reg)
+                + opt.opacity_reg * opacity_reg
+                + opt.optical_lambda * optical)
 
         # COUNT-WEIGHTED global rate: psum bit sums and param counts
         # separately (a pmean of per-slab ratios biases unbalanced slabs)
@@ -198,15 +231,42 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
                 jnp.mean(jax.nn.sigmoid(params[0].mask)), "sp")
 
         ps = (psnr(image1, gt1) + psnr(image2, gt2)) / 2.0
-        return loss, {"renders": renders,
-                      "metrics": {"psnr": ps, "l1": l1, "bpp": bpp / 4.0}}
+        from gsvc_tpu.train.trainer import StepMetrics
+
+        metrics = StepMetrics(
+            loss=loss, l1=l1, psnr=ps, scaling_reg=scaling_reg,
+            optical_loss=optical,
+            bit_per_param=bpp / 4.0,
+            bit_per_feat_param=sum(
+                _psum_ratio(r.rate.bit_per_feat_param, jnp.ones(()))
+                for r in renders) / 4.0,
+            bit_per_scaling_param=sum(
+                _psum_ratio(r.rate.bit_per_scaling_param, jnp.ones(()))
+                for r in renders) / 4.0,
+            bit_per_offsets_param=sum(
+                _psum_ratio(r.rate.bit_per_offsets_param, jnp.ones(()))
+                for r in renders) / 4.0,
+            num_rendered=jax.lax.psum(
+                sum(r.num_rendered for r in renders), "sp"),
+            overflow=jax.lax.psum(
+                sum(r.overflow for r in renders), "sp"),
+            active_gaussians=jax.lax.psum(
+                sum(jnp.sum(r.visibility_filter) for r in renders), "sp"),
+            mask_ratio=jax.lax.pmean(
+                sum(jnp.mean(r.selection_mask.astype(jnp.float32))
+                    for r in renders) / 4.0, "sp"),
+        )
+        return loss, {"renders": renders, "metrics": metrics}
 
     def _local_step(anchors, nets, n_active, bmin, bmax, stats,
-                    z1, z2, gt1, gt2, keys, mode, do_stats):
+                    z1, z2, gt1, gt2, flow, keys, mode, do_stats):
         """Body run per device: one local frame pair, one local z-slab."""
+        from gsvc_tpu.train.trainer import gt_f32
+
         # dp-batched args arrive with local leading dim 1
         z1, z2 = z1[0], z2[0]
-        gt1, gt2, keys = gt1[0], gt2[0], keys[0]
+        gt1, gt2, flow, keys = (gt_f32(gt1[0]), gt_f32(gt2[0]),
+                                gt_f32(flow[0]), keys[0])
         aux_state = ModelState(anchors=anchors, nets=nets, n_active=n_active,
                                x_bound_min=bmin, x_bound_max=bmax)
         params = (anchors, nets)
@@ -214,8 +274,8 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
         m2d = jnp.zeros((4, rows, 2)) if do_stats else None
 
         def loss_fn(p, m2d_):
-            return _pair_loss(p, aux_state, z1, z2, gt1, gt2, keys, mode,
-                              m2d_)
+            return _pair_loss(p, aux_state, z1, z2, gt1, gt2, flow, keys,
+                              mode, m2d_)
 
         if do_stats:
             (loss, aux), (grads, g_m2d) = jax.value_and_grad(
@@ -244,26 +304,26 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
 
     @functools.partial(jax.jit, static_argnames=("mode", "do_stats"))
     def spmd_step(state: ModelState, adam: AdamState, stats: TrainStats,
-                  lr_values, z1, z2, gt1, gt2, keys, mode: GenerateMode,
-                  do_stats: bool = False):
+                  lr_values, z1, z2, gt1, gt2, flow, keys,
+                  mode: GenerateMode, do_stats: bool = False):
         f = shard_map(
             functools.partial(_local_step, mode=mode, do_stats=do_stats),
             mesh=mesh,
             in_specs=(P("sp"), P(), P(), P(), P(), P("sp"),
-                      P("dp"), P("dp"), P("dp"), P("dp"), P("dp")),
+                      P("dp"), P("dp"), P("dp"), P("dp"), P("dp"),
+                      P("dp")),
             out_specs=((P("sp"), P()), P("sp"), P(), P()),
             check_vma=False,
         )
         grads, stats, loss, aux = f(
             state.anchors, state.nets, state.n_active,
             state.x_bound_min, state.x_bound_max, stats,
-            z1, z2, gt1, gt2, keys)
+            z1, z2, gt1, gt2, flow, keys)
         params = (state.anchors, state.nets)
         lr_tree = build_lr_tree(params, lr_values)
         new_params, adam = adam_update(params, grads, adam, lr_tree)
         new_state = state._replace(anchors=new_params[0], nets=new_params[1])
-        metrics = {"loss": loss, **aux}
-        return new_state, adam, stats, metrics
+        return new_state, adam, stats, aux
 
     return spmd_step
 

@@ -172,13 +172,27 @@ def render_frame_views(state: ModelState, cfg: GaussianConfig, frame_z,
         state, cfg, frame_z=frame_z, cam_z=frame_z, window_start=start,
         in_window=in_window, cap=window_cap, mode=mode, key=key,
         decoded=decoded)
-    pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
-        gss, frame_z, x_min, y_min, scale, settings, None, None)
-    planes_all = tuple(jnp.concatenate([pf[i], pb[i]], axis=0)
-                       for i in range(9))
-    counts_all = jnp.concatenate([cf, cb_], axis=0)
-    images, ts = _composite_concat(settings, planes_all, counts_all,
-                                   rasterizer, inference)
+    if rasterizer in ("pallas", "pallas_train") and can_mirror(settings):
+        from gsvc_tpu.render.splat import attr_rows_from_proj
+        from gsvc_tpu.render.pallas_splat import mirror_composite_attrs
+
+        proj = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
+                                 frame_z, x_min, y_min, scale, settings,
+                                 flip=False)
+        opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
+        tile_lists, counts, ovf, nrend = _bin_gaussians(proj, settings)
+        attrs = attr_rows_from_proj(proj, opacity, gss.color)
+        out4 = mirror_composite_attrs(
+            settings, attrs[None], tile_lists[None], counts[None], None)
+        images, ts = assemble_views(settings, out4)
+    else:
+        pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
+            gss, frame_z, x_min, y_min, scale, settings, None, None)
+        planes_all = tuple(jnp.concatenate([pf[i], pb[i]], axis=0)
+                           for i in range(9))
+        counts_all = jnp.concatenate([cf, cb_], axis=0)
+        images, ts = _composite_concat(settings, planes_all, counts_all,
+                                       rasterizer, inference)
     avg = (images[0] + images[1][:, :, ::-1]) / 2.0
     aux = (gss, start, in_window, proj.radius, ovf, nrend)
     return avg, images, ts, aux
@@ -256,6 +270,9 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
         attr_rows_from_proj, gather_tile_planes_rows,
     )
 
+    use_mirror_kernel = (rasterizer in ("pallas", "pallas_train")
+                         and can_mirror(settings))
+
     wins = [window_for_frame(state, cfg, z, window_cap) for z in (z1, z2)]
     ecs = [None, None]
     if mode in (GenerateMode.ENTROPY, GenerateMode.STE_ENTROPY):
@@ -277,48 +294,77 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
                                  flip=False)
         gens.append((gss, start, in_window, proj))
 
-    if can_mirror(settings):
-        # per-frame binning: a vmapped 2-frame batched sort was measured
-        # 25% SLOWER end to end on v5e (bench 2.665 -> 2.0 it/s) — XLA's
-        # batched sort lowering loses to two sequential sorts here
-        frames = []
+    if use_mirror_kernel:
+        # v3 fast path: the flip views are composited IN-KERNEL from the
+        # forward planes (mirrored pixel coords + reversed chunk order) —
+        # no flip plane gather, no second scatter-add transpose, and ONE
+        # combined backward scatter per frame (pallas_splat.py,
+        # mirror_composite_attrs)
+        from gsvc_tpu.render.pallas_splat import mirror_composite_attrs
+
+        per_frame = []
+        attrs_l, lists_l, counts_l = [], [], []
         for fi, (gss, start, in_window, proj) in enumerate(gens):
             tile_lists, counts, ovf_f, nrend_f = _bin_gaussians(
                 proj, settings)
             opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
-            attr_base = attr_rows_from_proj(proj, opacity, gss.color)
-            m2d_fwd, m2d_flip = m2(2 * fi), m2(2 * fi + 1)
-            attr_fwd = attr_base
-            if m2d_fwd is not None:
-                attr_fwd = jnp.concatenate(
-                    [attr_base[:, 0:1] + m2d_fwd[:, 0:1],
-                     attr_base[:, 1:2] + m2d_fwd[:, 1:2],
-                     attr_base[:, 2:]], axis=1)
-            pf = gather_tile_planes_rows(attr_fwd, tile_lists)
-            lists_b, counts_b = flip_tile_lists(tile_lists, counts,
-                                                settings)
-            attr_b = flip_attr_rows(attr_base, settings, m2d_flip)
-            pb = gather_tile_planes_rows(attr_b, lists_b)
-            frames.append((gss, start, in_window, pf, counts, pb,
-                           counts_b, proj, ovf_f, nrend_f))
+            attrs_l.append(attr_rows_from_proj(proj, opacity, gss.color))
+            lists_l.append(tile_lists)
+            counts_l.append(counts)
+            per_frame.append((gss, start, in_window, proj, ovf_f, nrend_f))
+        out4 = mirror_composite_attrs(
+            settings, jnp.stack(attrs_l), jnp.stack(lists_l),
+            jnp.stack(counts_l), means2d)
+        images, ts = assemble_views(settings, out4)
+        frames = [(gss, start, in_window, None, None, None, None, proj,
+                   ovf_f, nrend_f)
+                  for (gss, start, in_window, proj, ovf_f, nrend_f)
+                  in per_frame]
     else:
-        frames = []
-        for fi, (gss, start, in_window, _) in enumerate(gens):
-            z = (z1, z2)[fi]
-            pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
-                gss, z, x_min, y_min, scale, settings, m2(2 * fi),
-                m2(2 * fi + 1))
-            frames.append((gss, start, in_window, pf, cf, pb, cb_, proj,
-                           ovf, nrend))
+        if can_mirror(settings):
+            # per-frame binning: a vmapped 2-frame batched sort was
+            # measured 25% SLOWER end to end on v5e (bench 2.665 -> 2.0
+            # it/s) — XLA's batched sort lowering loses to two
+            # sequential sorts here
+            frames = []
+            for fi, (gss, start, in_window, proj) in enumerate(gens):
+                tile_lists, counts, ovf_f, nrend_f = _bin_gaussians(
+                    proj, settings)
+                opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
+                attr_base = attr_rows_from_proj(proj, opacity, gss.color)
+                m2d_fwd, m2d_flip = m2(2 * fi), m2(2 * fi + 1)
+                attr_fwd = attr_base
+                if m2d_fwd is not None:
+                    attr_fwd = jnp.concatenate(
+                        [attr_base[:, 0:1] + m2d_fwd[:, 0:1],
+                         attr_base[:, 1:2] + m2d_fwd[:, 1:2],
+                         attr_base[:, 2:]], axis=1)
+                pf = gather_tile_planes_rows(attr_fwd, tile_lists)
+                lists_b, counts_b = flip_tile_lists(tile_lists, counts,
+                                                    settings)
+                attr_b = flip_attr_rows(attr_base, settings, m2d_flip)
+                pb = gather_tile_planes_rows(attr_b, lists_b)
+                frames.append((gss, start, in_window, pf, counts, pb,
+                               counts_b, proj, ovf_f, nrend_f))
+        else:
+            frames = []
+            for fi, (gss, start, in_window, _) in enumerate(gens):
+                z = (z1, z2)[fi]
+                pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
+                    gss, z, x_min, y_min, scale, settings, m2(2 * fi),
+                    m2(2 * fi + 1))
+                frames.append((gss, start, in_window, pf, cf, pb, cb_,
+                               proj, ovf, nrend))
 
-    planes_all = tuple(
-        jnp.concatenate([frames[0][3][i], frames[0][5][i],
-                         frames[1][3][i], frames[1][5][i]], axis=0)
-        for i in range(9))
-    counts_all = jnp.concatenate(
-        [frames[0][4], frames[0][6], frames[1][4], frames[1][6]], axis=0)
-    images, ts = _composite_concat(settings, planes_all, counts_all,
-                                   rasterizer, inference=False)
+        planes_all = tuple(
+            jnp.concatenate([frames[0][3][i], frames[0][5][i],
+                             frames[1][3][i], frames[1][5][i]], axis=0)
+            for i in range(9))
+        counts_all = jnp.concatenate(
+            [frames[0][4], frames[0][6], frames[1][4], frames[1][6]],
+            axis=0)
+        images, ts = _composite_concat(settings, planes_all, counts_all,
+                                       rasterizer, inference=False)
 
     renders = []
     for fi, vi in ((0, 0), (0, 1), (1, 2), (1, 3)):

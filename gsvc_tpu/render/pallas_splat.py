@@ -74,18 +74,22 @@ def _tri_excl_lower(chunk):
             ).astype(jnp.float32)
 
 
-def _trans_chunk(alpha32, chunk, with_total: bool = True):
+def _trans_chunk(alpha32, chunk, with_total: bool = True, tri=None):
     """In-chunk transmittance factors from fp32 alpha.
 
-    Returns (excl [C,P]: prod_{j<i}(1-alpha_j), chunk_total [1,P] or
-    None).  Log-space with the exclusive cumsum as a strictly-lower-
-    triangular matmul: 2 transcendental passes + one MXU op, versus
-    log2(C) roll+mul+select rounds for a direct Hillis-Steele cumprod
-    (and Mosaic's rotate has no sub-32-bit support anyway).
-    ALPHA_MAX = 0.99 bounds log1p at ~-4.6, so the [C,P] sums stay
-    well-conditioned."""
+    Returns (excl [C,P]: prod over rows before i in COMPOSITE order of
+    (1-alpha_j), chunk_total [1,P] or None).  Log-space with the
+    exclusive cumsum as a triangular matmul: 2 transcendental passes +
+    one MXU op, versus log2(C) roll+mul+select rounds for a direct
+    Hillis-Steele cumprod (and Mosaic's rotate has no sub-32-bit support
+    anyway).  ``tri`` selects the composite direction: strictly-lower
+    (default, rows composited top-down) or strictly-upper (mirror views,
+    rows composited bottom-up).  ALPHA_MAX = 0.99 bounds log1p at ~-4.6,
+    so the [C,P] sums stay well-conditioned."""
     l = jnp.log1p(-alpha32)                       # [C, P]
-    s_excl = _mm(_tri_excl_lower(chunk), l)       # MXU exclusive cumsum
+    if tri is None:
+        tri = _tri_excl_lower(chunk)
+    s_excl = _mm(tri, l)                          # MXU exclusive cumsum
     excl = jnp.exp(s_excl)
     if not with_total:
         return excl, None
@@ -141,14 +145,49 @@ def _chunk_scalars(planes_refs, t, sl, cx, cy):
     return mu_x, mu_y, con_a, con_b, con_c, op, col_r, col_g, col_b
 
 
-def _chunk_alpha(scalars, xs, ys, compute_dtype):
+def _basis8(xs, ys):
+    """Pixel-polynomial basis rows [1, x, y, x^2, xy, y^2, 0, 0] — shared
+    by the MXU quadratic form (forward) and the moment backward."""
+    zeros = jnp.zeros_like(xs)
+    return jnp.concatenate(
+        [jnp.ones_like(xs), xs, ys, xs * xs, xs * ys, ys * ys,
+         zeros, zeros], axis=0)                               # [8, P]
+
+
+def _chunk_alpha(scalars, xs, ys, compute_dtype, basis=None):
     """[C,P] alpha evaluation.  Returns (alpha [C,P] compute-dtype with
     MIN/MAX clamps applied, act [C,P] bool gradient gate).
 
     Validity is implicit: padding/invalid rows have op == 0 -> alpha 0.
     bf16 mode: subtract in fp32, THEN cast the (small, tile-local) deltas.
+    When ``basis`` ([8, P] from _basis8) is given in fp32 mode, the
+    quadratic form is evaluated as ONE MXU matmul  q = G[C,8] @ basis
+    (expanding q = a d0^2 + 2b d0 d1 + c d1^2 in the pixel polynomial
+    basis) instead of ~8 elementwise VPU passes over [C, P].
     """
     mu_x, mu_y, con_a, con_b, con_c, op = scalars[:6]
+    if basis is not None and compute_dtype == "float32":
+        a = con_a[:, None]
+        b = con_b[:, None]
+        c = con_c[:, None]
+        mx = mu_x[:, None]
+        my = mu_y[:, None]
+        g = jnp.concatenate([
+            a * mx * mx + 2.0 * b * mx * my + c * my * my,
+            -2.0 * (a * mx + b * my),
+            -2.0 * (c * my + b * mx),
+            a, 2.0 * b, c,
+            jnp.zeros_like(a), jnp.zeros_like(a)], axis=1)    # [C, 8]
+        q = jax.lax.dot_general(
+            g, basis, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        alpha_raw = op[:, None] * jnp.exp(-0.5 * q)
+        alpha = jnp.minimum(alpha_raw, ALPHA_MAX)
+        ge_min = alpha >= ALPHA_MIN
+        alpha = jnp.where(ge_min, alpha, 0.0)
+        act = ge_min & (alpha_raw < ALPHA_MAX)
+        return alpha, act, None, None
     d0f = xs - mu_x[:, None]                      # [C, P] fp32
     d1f = ys - mu_y[:, None]
     if compute_dtype == "bfloat16":
@@ -195,15 +234,18 @@ def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool,
         tile_id = pl.program_id(0) * tps + t
         count = count_ref[tile_id]
         xs, ys, cx, cy = _tile_coords(settings, tile_id)
+        basis = _basis8(xs, ys)
 
-        def body(state, t=t, xs=xs, ys=ys, cx=cx, cy=cy, count=count):
+        def body(state, t=t, xs=xs, ys=ys, cx=cx, cy=cy, count=count,
+                 basis=basis):
             c, t_carry, acc = state
             if save_tchk:
                 tchk_ref[t, c, :] = t_carry[0]
             sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
             scalars = _chunk_scalars(planes_refs, t, sl, cx, cy)
             alpha, _, _, _ = _chunk_alpha(scalars, xs, ys,
-                                          settings.compute_dtype)
+                                          settings.compute_dtype,
+                                          basis=basis)
             alpha32 = alpha.astype(jnp.float32)
             excl, chunk_t = _trans_chunk(alpha32, chunk)
             t_before = t_carry * excl                         # [C, P] fp32
@@ -285,10 +327,7 @@ def _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
                   tri_up, mm, mm_rhs_t, t, count, xs, ys, cx, cy,
                   chunk, n_chunks, bg):
     # pixel-polynomial basis rows: [1, xl, yl, xl^2, xl*yl, yl^2, 0, 0]
-    zeros = jnp.zeros_like(xs)
-    basis = jnp.concatenate(
-        [jnp.ones_like(xs), xs, ys, xs * xs, xs * ys, ys * ys,
-         zeros, zeros], axis=0)                               # [8, P]
+    basis = _basis8(xs, ys)
 
     for r in grad_refs:
         r[t, 0, :] = jnp.zeros((settings.gaussian_cap,), jnp.float32)
@@ -304,7 +343,8 @@ def _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         scalars = _chunk_scalars(planes_refs, t, sl, cx, cy)
         alpha, act, _, _ = _chunk_alpha(scalars, xs, ys,
-                                        settings.compute_dtype)
+                                        settings.compute_dtype,
+                                        basis=basis)
         alpha32 = alpha.astype(jnp.float32)
         excl, _ = _trans_chunk(alpha32, chunk, with_total=False)
         t_start = tchk_ref[t, c, :][None, :]
@@ -508,6 +548,410 @@ def composite_tiles_inference(settings: RasterSettings, planes, tile_counts):
     """Forward-only compositing (no checkpoint output, early exit)."""
     out, _ = _composite_call(settings, planes, tile_counts, save_tchk=False)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mirror-view kernels (v3): the x-flipped view of a frame is composited
+# directly FROM THE FORWARD VIEW'S PLANES.  The flip view's tile lists are
+# a permutation of the forward ones (mirror tiles, reverse depth order) and
+# its attribute transform (mux' = (W-1)-mux, conic b' = -b) cancels against
+# the mirrored pixel coordinate:  alpha_flip(x') = alpha_fwd((W-1)-x').
+# So a flip grid step reads the MIRRORED data tile, evaluates alpha at
+# negated tile-local xs, and composites chunks bottom-up (suffix products
+# via the upper-triangular MXU cumsum).  This removes, per frame, one
+# [T*cap] plane gather + one [T*cap, 9] scatter-add transpose + the
+# integer mirror permutation — the dominant non-compositing costs of the
+# round-2 step (~22 ms per scatter at 1M rows, measured at XLA's floor).
+#
+# Grid layout: g = (f*T + u)*2 + v with v (view) innermost, so the two
+# views of a data tile are CONSECUTIVE grid steps sharing the same input
+# plane block (one DMA) and, in the backward, the same gradient output
+# block (accumulated across the two steps while resident in VMEM).
+# ---------------------------------------------------------------------------
+
+
+def _mirror_view_ids(settings: RasterSettings, g):
+    """(data_row f*T+u, v, out_row) for mirror-grid step g.
+
+    Flip steps (v == 1) write the x-mirrored OUTPUT tile: the data tile u
+    renders the flip view's tile mirror(u)."""
+    t_n = settings.n_tiles
+    ntx = settings.n_tiles_x
+    d = g // 2
+    v = g % 2
+    f = d // t_n
+    u = d % t_n
+    mirror_u = u + (ntx - 1) - 2 * (u % ntx)
+    tile_out = jnp.where(v == 1, mirror_u, u)
+    return d, v, (2 * f + v) * t_n + tile_out
+
+
+def _fwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
+                       save_tchk: bool):
+    planes_refs = refs[:9]
+    out_ref = refs[9]
+    tchk_ref = refs[10] if save_tchk else None
+    chunk = settings.chunk
+    n_chunks = settings.gaussian_cap // chunk
+    p_pix = settings.tile_h * settings.tile_w
+
+    g = pl.program_id(0)
+    u = (g // 2) % settings.n_tiles
+    v = g % 2
+    rev = v == 1
+    count = count_ref[g // 2]
+    xs, ys, cx, cy = _tile_coords(settings, u)
+    xs_eff = jnp.where(rev, -xs, xs)
+    tri_fwd = jnp.where(rev, _tri_excl_upper(chunk), _tri_excl_lower(chunk))
+    basis = _basis8(xs_eff, ys)
+    n_used = jnp.minimum((count + chunk - 1) // chunk, n_chunks)
+
+    def body(state):
+        p, t_carry, acc = state
+        if save_tchk:
+            # checkpoints are stored by COMPOSITE position p (not data
+            # chunk), so the backward replay is view-direction agnostic
+            tchk_ref[0, p, :] = t_carry[0]
+        c = jnp.where(rev, n_used - 1 - p, p)
+        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
+        scalars = _chunk_scalars(planes_refs, 0, sl, cx, cy)
+        alpha, _, _, _ = _chunk_alpha(scalars, xs_eff, ys,
+                                      settings.compute_dtype,
+                                      basis=basis)
+        alpha32 = alpha.astype(jnp.float32)
+        excl, chunk_t = _trans_chunk(alpha32, chunk, tri=tri_fwd)
+        t_before = t_carry * excl                         # [C, P] fp32
+        w = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
+        col_r, col_g, col_b = scalars[6:9]
+        cols3 = jnp.concatenate(
+            [col_r[None, :], col_g[None, :], col_b[None, :]], axis=0)
+        acc = acc + _mm(cols3, w)                         # MXU [3, P]
+        return p + 1, t_carry * chunk_t, acc
+
+    def cond(state):
+        p, t_carry, _ = state
+        return jnp.logical_and(p < n_used, jnp.max(t_carry) >= T_EPS)
+
+    t0 = jnp.ones((1, p_pix), jnp.float32)
+    acc0 = jnp.zeros((3, p_pix), jnp.float32)
+    p_end, t_final, acc = jax.lax.while_loop(cond, body, (0, t0, acc0))
+
+    if save_tchk:
+        def fill_body(pi, _, t_final=t_final, p_end=p_end):
+            @pl.when(pi >= p_end)
+            def _():
+                tchk_ref[0, pi, :] = t_final[0]
+            return 0
+        jax.lax.fori_loop(0, n_chunks, fill_body, 0)
+        tchk_ref[0, n_chunks, :] = t_final[0]
+
+    out_ref[0, 0:3, :] = acc + t_final * settings.bg
+    out_ref[0, 3, :] = t_final[0]
+
+
+def _bwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
+                       per_view_mu: bool):
+    planes_refs = refs[:9]
+    g_ref, tchk_ref = refs[9], refs[10]
+    grad_refs = refs[11:20]
+    chunk = settings.chunk
+    n_chunks = settings.gaussian_cap // chunk
+    cap = settings.gaussian_cap
+
+    g = pl.program_id(0)
+    u = (g // 2) % settings.n_tiles
+    v = g % 2
+    rev = v == 1
+    count = count_ref[g // 2]
+    xs, ys, cx, cy = _tile_coords(settings, u)
+    xs_eff = jnp.where(rev, -xs, xs)
+    tri_fwd = jnp.where(rev, _tri_excl_upper(chunk), _tri_excl_lower(chunk))
+    # suffix-in-composite-order accumulation: for flip views the in-chunk
+    # "later" gaussians are the LOWER data rows
+    tri_bwd = jnp.where(rev, _tri_excl_lower(chunk), _tri_excl_upper(chunk))
+
+    if settings.compute_dtype == "bfloat16":
+        def mm(a, b):
+            return _mm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+
+        def mm_rhs_t(a, b):
+            return _mm_rhs_t(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    else:
+        mm, mm_rhs_t = _mm, _mm_rhs_t
+
+    # mux/muy may be per-view outputs (densification stats need each
+    # view's screen gradients separately); the other seven accumulate
+    # across the two consecutive view steps of a data tile
+    pv_refs = grad_refs[:2] if per_view_mu else ()
+    acc_refs = grad_refs[2:] if per_view_mu else grad_refs
+    zeros_cap = jnp.zeros((cap,), jnp.float32)
+
+    @pl.when(v == 0)
+    def _():
+        for r in acc_refs:
+            r[0, 0, :] = zeros_cap
+
+    for r in pv_refs:
+        r[0, 0, :] = zeros_cap
+
+    basis = _basis8(xs_eff, ys)
+
+    g3 = g_ref[0, 0:3, :]
+    g_t = g_ref[0, 3, :][None, :]
+    g_sum = jnp.sum(g3, axis=0, keepdims=True)
+    n_used = jnp.minimum((count + chunk - 1) // chunk, n_chunks)
+
+    t_final = tchk_ref[0, n_chunks, :][None, :]
+    a_init = t_final * (settings.bg * g_sum + g_t)
+
+    def last_live(p, best):
+        return jnp.where(jnp.max(tchk_ref[0, p, :]) >= T_EPS, p, best)
+    p_hot = jax.lax.fori_loop(0, n_used, last_live, jnp.int32(-1))
+
+    def body(state):
+        p, a_acc = state
+        c = jnp.where(rev, n_used - 1 - p, p)
+        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
+        scalars = _chunk_scalars(planes_refs, 0, sl, cx, cy)
+        alpha, act, _, _ = _chunk_alpha(scalars, xs_eff, ys,
+                                        settings.compute_dtype,
+                                        basis=basis)
+        alpha32 = alpha.astype(jnp.float32)
+        excl, _ = _trans_chunk(alpha32, chunk, with_total=False, tri=tri_fwd)
+        t_before = tchk_ref[0, p, :][None, :] * excl
+        mu_x, mu_y, con_a, con_b, con_c, op = scalars[:6]
+
+        live = t_before >= T_EPS
+        w = jnp.where(live, alpha32 * t_before, 0.0)
+        col_r, col_g, col_b = scalars[6:9]
+        c3 = jnp.concatenate([col_r[:, None], col_g[:, None],
+                              col_b[:, None]], axis=1)    # [C, 3]
+        gc = mm(c3, g3)                                   # [C, P]
+        wgc = w * gc
+        a_i = a_acc + mm(tri_bwd, wgc)                    # suffix (MXU)
+
+        one_m32 = jnp.maximum(1.0 - alpha32, 1e-6)
+        inv_one_m = pl.reciprocal(one_m32, approx=True) \
+            if jax.default_backend() == "tpu" else 1.0 / one_m32
+        d_alpha = jnp.where(live & act,
+                            gc * t_before - a_i * inv_one_m, 0.0)
+        dq = d_alpha * alpha32 * (-0.5)                   # [C, P]
+
+        m = mm_rhs_t(dq, basis)                           # [C, 8] moments
+        m0, m1, m2 = m[:, 0:1], m[:, 1:2], m[:, 2:3]
+        m3, m4, m5 = m[:, 3:4], m[:, 4:5], m[:, 5:6]
+        mxl = mu_x[:, None]
+        myl = mu_y[:, None]
+        a2 = 2.0 * con_a[:, None]
+        b2 = 2.0 * con_b[:, None]
+        c2 = 2.0 * con_c[:, None]
+
+        d_cona = m3 - 2.0 * mxl * m1 + mxl * mxl * m0
+        d_conb = 2.0 * (m4 - myl * m1 - mxl * m2 + mxl * myl * m0)
+        d_conc = m5 - 2.0 * myl * m2 + myl * myl * m0
+        mx_c = m1 - mxl * m0
+        my_c = m2 - myl * m0
+        d_mux = -(a2 * mx_c + b2 * my_c)
+        d_muy = -(c2 * my_c + b2 * mx_c)
+        safe_op = jnp.maximum(op, 1e-12)[:, None]
+        d_op = -2.0 * m0 / safe_op
+        dcol = mm_rhs_t(w, g3)                            # [C, 3]
+
+        vals = (d_mux[:, 0], d_muy[:, 0], d_cona[:, 0], d_conb[:, 0],
+                d_conc[:, 0], d_op[:, 0], dcol[:, 0], dcol[:, 1],
+                dcol[:, 2])
+        for i, (r, val) in enumerate(zip(grad_refs, vals)):
+            if per_view_mu and i < 2:
+                r[0, 0, sl] = val                         # per-view block
+            else:
+                r[0, 0, sl] = r[0, 0, sl] + val           # accumulated
+
+        a_acc = a_acc + jnp.sum(wgc, axis=0, keepdims=True)
+        return p - 1, a_acc
+
+    def cond(state):
+        return state[0] >= 0
+
+    jax.lax.while_loop(cond, body, (p_hot, a_init))
+
+
+def _mirror_call(settings: RasterSettings, planes, tile_counts,
+                 save_tchk: bool):
+    """Forward mirror kernel over 2 views x planes.shape[0] data tiles.
+
+    planes: 9 x [F*T, cap] FORWARD-view planes; tile_counts [F*T].
+    Returns out4 [2F*T, 4, P] in view order (f0 fwd, f0 flip, f1 fwd,
+    f1 flip) — the assemble_views contract."""
+    _check_chunk(settings)
+    ft = planes[0].shape[0]
+    n_grid = 2 * ft
+    cap = settings.gaussian_cap
+    p = settings.tile_h * settings.tile_w
+    n_chunks = cap // settings.chunk
+    planes3 = tuple(q[:, None, :] for q in planes)
+
+    def data_map(g, counts):
+        return (g // 2, 0, 0)
+
+    def out_map(g, counts):
+        _, _, row = _mirror_view_ids(settings, g)
+        return (row, 0, 0)
+
+    out_specs = [pl.BlockSpec((1, 4, p), out_map, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((n_grid, 4, p), jnp.float32)]
+    if save_tchk:
+        out_specs.append(pl.BlockSpec((1, n_chunks + 1, p), out_map,
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(
+            jax.ShapeDtypeStruct((n_grid, n_chunks + 1, p), jnp.float32))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((1, 1, cap), data_map,
+                               memory_space=pltpu.VMEM)] * 9,
+        out_specs=out_specs,
+    )
+    res = pl.pallas_call(
+        functools.partial(_fwd_kernel_mirror, settings=settings,
+                          save_tchk=save_tchk),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=jax.default_backend() != "tpu",
+    )(tile_counts, *planes3)
+    return (res[0], res[1]) if save_tchk else (res[0], None)
+
+
+def _mirror_call_bwd(settings: RasterSettings, planes, tile_counts,
+                     t_chk, g_out, per_view_mu: bool):
+    _check_chunk(settings)
+    ft = planes[0].shape[0]
+    n_grid = 2 * ft
+    cap = settings.gaussian_cap
+    p = settings.tile_h * settings.tile_w
+    n_chunks = cap // settings.chunk
+    planes3 = tuple(q[:, None, :] for q in planes)
+
+    def data_map(g, counts):
+        return (g // 2, 0, 0)
+
+    def out_map(g, counts):
+        _, _, row = _mirror_view_ids(settings, g)
+        return (row, 0, 0)
+
+    def view_map(g, counts):
+        return (g, 0, 0)
+
+    acc_spec = pl.BlockSpec((1, 1, cap), data_map, memory_space=pltpu.VMEM)
+    pv_spec = pl.BlockSpec((1, 1, cap), view_map, memory_space=pltpu.VMEM)
+    acc_shape = jax.ShapeDtypeStruct((ft, 1, cap), jnp.float32)
+    pv_shape = jax.ShapeDtypeStruct((n_grid, 1, cap), jnp.float32)
+    if per_view_mu:
+        out_specs = [pv_spec, pv_spec] + [acc_spec] * 7
+        out_shape = [pv_shape, pv_shape] + [acc_shape] * 7
+    else:
+        out_specs = [acc_spec] * 9
+        out_shape = [acc_shape] * 9
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_grid,),
+        in_specs=[pl.BlockSpec((1, 1, cap), data_map,
+                               memory_space=pltpu.VMEM)] * 9 + [
+            pl.BlockSpec((1, 4, p), out_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_chunks + 1, p), out_map,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+    )
+    grads = pl.pallas_call(
+        functools.partial(_bwd_kernel_mirror, settings=settings,
+                          per_view_mu=per_view_mu),
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        interpret=jax.default_backend() != "tpu",
+    )(tile_counts, *planes3, g_out, t_chk)
+    return tuple(g[:, 0, :] for g in grads)
+
+
+def _planes_from_attrs(attrs, tile_lists, m2d):
+    """Gather forward-view planes for F frames.  attrs [F, M, 9];
+    tile_lists [F, T, cap]; m2d [2F, M, 2] or None (fwd views 2f are
+    embedded into the mux/muy columns — zeros numerically)."""
+    from gsvc_tpu.render.splat import gather_tile_planes_rows
+
+    f_n = attrs.shape[0]
+    per_frame = []
+    for f in range(f_n):
+        a = attrs[f]
+        if m2d is not None:
+            a = jnp.concatenate(
+                [a[:, 0:2] + m2d[2 * f], a[:, 2:]], axis=1)
+        per_frame.append(gather_tile_planes_rows(a, tile_lists[f]))
+    return tuple(
+        jnp.concatenate([per_frame[f][i] for f in range(f_n)], axis=0)
+        for i in range(9))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def mirror_composite_attrs(settings: RasterSettings, attrs, tile_lists,
+                           counts, m2d):
+    """Composite 2F views (fwd + x-mirror per frame) straight from the
+    per-gaussian attribute rows.
+
+    attrs [F, M, 9] (attr_rows_from_proj packing), tile_lists [F, T, cap]
+    int32, counts [F, T], m2d [2F, M, 2] zeros or None.  Returns out4
+    [2F*T, 4, P].  The backward performs ONE [T*cap]-row scatter-add per
+    frame (9 or 13 columns) instead of two 9-column ones."""
+    planes = _planes_from_attrs(attrs, tile_lists, m2d)
+    out, _ = _mirror_call(settings, planes, counts.reshape(-1),
+                          save_tchk=False)
+    return out
+
+
+def _mca_fwd(settings, attrs, tile_lists, counts, m2d):
+    planes = _planes_from_attrs(attrs, tile_lists, m2d)
+    out, t_chk = _mirror_call(settings, planes, counts.reshape(-1),
+                              save_tchk=True)
+    m_shape = None if m2d is None else m2d.shape
+    return out, (planes, tile_lists, counts, t_chk, attrs.shape, m_shape)
+
+
+def _mca_bwd(settings, res, g_out):
+    planes, tile_lists, counts, t_chk, a_shape, m_shape = res
+    f_n, m_rows, _ = a_shape
+    has_m2d = m_shape is not None
+    t_n = settings.n_tiles
+    grads = _mirror_call_bwd(settings, planes, counts.reshape(-1), t_chk,
+                             g_out, per_view_mu=has_m2d)
+    d_attrs, d_m2d = [], []
+    for f in range(f_n):
+        sl = slice(f * t_n, (f + 1) * t_n)
+        if has_m2d:
+            mux_v0 = grads[0][(2 * f) * t_n:(2 * f + 1) * t_n]
+            mux_v1 = grads[0][(2 * f + 1) * t_n:(2 * f + 2) * t_n]
+            muy_v0 = grads[1][(2 * f) * t_n:(2 * f + 1) * t_n]
+            muy_v1 = grads[1][(2 * f + 1) * t_n:(2 * f + 2) * t_n]
+            cols = [mux_v0 + mux_v1, muy_v0 + muy_v1]
+        else:
+            cols = [grads[0][sl], grads[1][sl]]
+        cols += [grads[i][sl] for i in range(2, 9)]
+        if has_m2d:
+            cols += [mux_v0, muy_v0, mux_v1, muy_v1]
+        rows = jnp.stack([c.reshape(-1) for c in cols], axis=1)
+        ids = jnp.maximum(tile_lists[f].reshape(-1), 0)
+        scat = jnp.zeros((m_rows, rows.shape[1]), rows.dtype
+                         ).at[ids].add(rows)
+        d_attrs.append(scat[:, :9])
+        if has_m2d:
+            d_m2d.append(scat[:, 9:11])
+            # the flip view's screen x is mirrored: d m2d_flip_x = -d mux
+            d_m2d.append(jnp.stack([-scat[:, 11], scat[:, 12]], axis=1))
+    d_attrs_out = jnp.stack(d_attrs)
+    d_m2d_out = jnp.stack(d_m2d) if has_m2d else None
+    return d_attrs_out, None, None, d_m2d_out
+
+
+mirror_composite_attrs.defvjp(_mca_fwd, _mca_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -65,21 +65,32 @@ class FitReport:
 
 
 class GOPFitter:
-    """Fits one frame cube (= encodes one GOP)."""
+    """Fits one frame cube (= encodes one GOP).
+
+    ``mesh``: optional jax.sharding.Mesh with (dp, sp) axes — the fit then
+    runs the SPMD train step (parallel/spmd.py): anchors z-slab-sharded
+    over sp, a different frame pair per dp group per iteration, and
+    densification as host re-shard epochs.  Everything else (schedule
+    phases, eval, checkpoints, the codec feed) is identical."""
 
     def __init__(self, cfg: Config, dataset: FrameCubeDataset,
-                 seed: int = 0, log_fn: Optional[Callable] = None):
+                 seed: int = 0, log_fn: Optional[Callable] = None,
+                 mesh=None):
         self.cfg = cfg
         self.dataset = dataset
         self.gcfg = GaussianConfig.from_model_config(cfg.model)
         self.log = log_fn or (lambda *a, **k: None)
         self.rng = np.random.default_rng(seed)
         self.key = jax.random.PRNGKey(seed)
+        self.mesh = mesh
+        self.n_dp = mesh.shape["dp"] if mesh is not None else 1
+        self.n_sp = mesh.shape["sp"] if mesh is not None else 1
 
         opt = cfg.optimization
         pts = init_point_cloud(dataset.x_min, dataset.y_min, dataset.z_min,
                                n=opt.init_anchor_num, rng=self.rng)
-        self.capacity = _round_up(int(opt.init_anchor_num * 1.5), 1024)
+        self.capacity = _round_up(
+            _round_up(int(opt.init_anchor_num * 1.5), 1024), self.n_sp)
         self.key, k0 = jax.random.split(self.key)
         self.state = init_model(k0, self.gcfg, pts, self.capacity,
                                 voxel_size=cfg.model.voxel_size)
@@ -94,6 +105,17 @@ class GOPFitter:
         self.window_cap = compute_window_cap(
             np.asarray(self.state.anchors.anchor[:, 2]),
             int(self.state.n_active), self.frame_zs, self.gcfg.threshold)
+        if mesh is not None:
+            # under sp-sharding each device windows its LOCAL z-slab
+            self.window_cap = min(self.window_cap,
+                                  self.capacity // self.n_sp)
+            from gsvc_tpu.parallel.spmd import (
+                shard_adam_state, shard_model_state, shard_train_stats,
+            )
+            self._shard_model_state = shard_model_state
+            self._shard_adam_state = shard_adam_state
+            self._shard_train_stats = shard_train_stats
+            self.state = shard_model_state(self.state, mesh)
 
         bg = 1.0 if cfg.model.white_background else 0.0
         self.settings = make_raster_settings(
@@ -108,19 +130,27 @@ class GOPFitter:
         params = (self.state.anchors, self.state.nets)
         self.adam = adam_init(params)
         self.stats = init_stats(self.capacity, self.gcfg.n_offsets)
+        if mesh is not None:
+            self.adam = self._shard_adam_state(self.adam, mesh)
+            self.stats = self._shard_train_stats(self.stats, mesh)
         self.controller = TrainingController(opt)
         self._build_step()
 
         # preload frames/flows on device once (HBM resident across steps);
-        # channel-FIRST [T, 3, H, W] — W on the lane dim (see splat.py)
-        self.images = jnp.asarray(
-            np.transpose(self.dataset.images, (0, 3, 1, 2)))
+        # channel-FIRST [T, 3, H, W] — W on the lane dim (see splat.py).
+        # Stored uint8 / bfloat16: a 600-frame 1080p GOP is 30 GB as fp32
+        # pairs — over the 16 GB v5e HBM — but 6 GB as (u8 frames, bf16
+        # flows).  PNG sources are exactly representable in uint8; the
+        # jitted step casts to f32 on device (trainer._gt_f32).
+        img8 = np.clip(np.round(self.dataset.images * 255.0), 0, 255
+                       ).astype(np.uint8)
+        self.images = jnp.asarray(np.transpose(img8, (0, 3, 1, 2)))
         if self.dataset.flows is not None:
-            self.flows = jnp.asarray(self.dataset.flows)   # [T-1, 2, H, W]
+            self.flows = jnp.asarray(self.dataset.flows, jnp.bfloat16)
         else:
             self.flows = jnp.zeros(
                 (max(dataset.num_frames - 1, 1), 2, dataset.height,
-                 dataset.width), jnp.float32)
+                 dataset.width), jnp.bfloat16)
 
     def _resolve_voxel_size(self, pts, voxel_size):
         if voxel_size > 0:
@@ -134,16 +164,77 @@ class GOPFitter:
         rasterizer = "pallas_train" if (
             self.cfg.pipeline.use_pallas
             and jax.default_backend() == "tpu") else "jnp"
-        self.train_step = make_train_step(
-            self.gcfg, self.settings, self.window_cap, self.cfg.optimization,
-            width=d.width, height=d.height, scale=d.scale,
-            x_min=d.x_min, y_min=d.y_min, rasterizer=rasterizer)
+        if self.mesh is not None:
+            from gsvc_tpu.parallel.spmd import make_spmd_train_step
+
+            self.train_step = make_spmd_train_step(
+                self.gcfg, self.settings, self.window_cap,
+                self.cfg.optimization, width=d.width, height=d.height,
+                scale=d.scale, x_min=d.x_min, y_min=d.y_min,
+                mesh=self.mesh, rasterizer=rasterizer)
+        else:
+            self.train_step = make_train_step(
+                self.gcfg, self.settings, self.window_cap,
+                self.cfg.optimization, width=d.width, height=d.height,
+                scale=d.scale, x_min=d.x_min, y_min=d.y_min,
+                rasterizer=rasterizer)
 
     def _lr_values(self, it: int) -> Dict[str, float]:
         return {name: sched(it) for name, sched in self.schedules.items()}
 
     # -- densification bridge ---------------------------------------------
+    def _maybe_resize_window(self, z_sorted: np.ndarray, n_active: int
+                             ) -> bool:
+        """Grow OR SHRINK the padded TSW window to match the current
+        anchor density.  After heavy pruning a high-water window pays
+        generation + gather cost for dead rows every step (round-2
+        verdict item 8) — shrink when the needed band drops below half
+        the current cap (hysteresis avoids re-jit thrash)."""
+        new_window = compute_window_cap(z_sorted, n_active, self.frame_zs,
+                                        self.gcfg.threshold)
+        if self.mesh is not None:
+            new_window = min(new_window, self.capacity // self.n_sp)
+        if new_window > self.window_cap or \
+                new_window <= self.window_cap // 2:
+            old = self.window_cap
+            self.window_cap = new_window
+            self.log(f"window_cap {old} -> {new_window} (re-jit)")
+            return True
+        return False
+
+    def _densify_spmd(self):
+        from gsvc_tpu.parallel.spmd import spmd_densify_epoch
+
+        opt = self.cfg.optimization
+        if opt.auto_densify_threshold and not getattr(
+                self, "_threshold_calibrated", False):
+            from gsvc_tpu.train.calibrate import calibrate_densify_threshold
+
+            n = int(self.state.n_active)
+            k = self.gcfg.n_offsets
+            stats_h = {
+                "offset_gradient_accum": np.asarray(
+                    self.stats.offset_gradient_accum)[:n * k],
+                "offset_denom": np.asarray(self.stats.offset_denom)[:n * k],
+            }
+            opt.densify_grad_threshold = calibrate_densify_threshold(
+                stats_h, opt, opt.densify_target_fraction)
+            self._threshold_calibrated = True
+
+        self.state, self.adam, self.stats, res, cap = spmd_densify_epoch(
+            self.state, self.adam, self.stats, self.mesh, self.cfg.model,
+            opt, self.voxel_size, self.rng, self.gcfg.n_offsets,
+            capacity=self.capacity)
+        recompiled = cap != self.capacity
+        self.capacity = cap
+        z = np.asarray(self.state.anchors.anchor[:, 2])
+        if self._maybe_resize_window(z, res.n_active) or recompiled:
+            self._build_step()
+        return res
+
     def _densify(self):
+        if self.mesh is not None:
+            return self._densify_spmd()
         n = int(self.state.n_active)
         k = self.gcfg.n_offsets
         anchors = {f: np.asarray(getattr(self.state.anchors, f))[:n].copy()
@@ -219,10 +310,7 @@ class GOPFitter:
             offset_denom=pad_to(stats["offset_denom"], cap * k),
         )
 
-        new_window = compute_window_cap(anchor_pad[:, 2], n_new,
-                                        self.frame_zs, self.gcfg.threshold)
-        if new_window > self.window_cap:
-            self.window_cap = new_window
+        if self._maybe_resize_window(anchor_pad[:, 2], n_new):
             recompiled = True
         if recompiled:
             self._build_step()
@@ -331,22 +419,40 @@ class GOPFitter:
         self.controller.step()
         for it in range(1, total + 1):
             lrs = self._lr_values(it)
-            fidx = int(self.rng.integers(0, max(n_frames - 1, 1)))
-            z1 = self.frame_zs[fidx]
-            z2 = self.frame_zs[min(fidx + 1, n_frames - 1)]
-            gt1 = self.images[fidx]
-            gt2 = self.images[min(fidx + 1, n_frames - 1)]
-            flow = self.flows[min(fidx, self.flows.shape[0] - 1)]
-
             mode = self.controller.render_mode
             if mode is None:  # (enum value 0 is falsy — no `or` here)
                 mode = GenerateMode.STE_ENTROPY
             do_stats = self.controller.gaussian_statis
             self.key, sk = jax.random.split(self.key)
 
-            self.state, self.adam, self.stats, metrics = self.train_step(
-                self.state, self.adam, self.stats, lrs,
-                z1, z2, gt1, gt2, flow, sk, mode=mode, do_stats=do_stats)
+            if self.mesh is not None:
+                # one DIFFERENT frame pair per dp group per step
+                fidxs = [int(self.rng.integers(0, max(n_frames - 1, 1)))
+                         for _ in range(self.n_dp)]
+                z1 = jnp.asarray([self.frame_zs[i] for i in fidxs])
+                z2 = jnp.asarray([
+                    self.frame_zs[min(i + 1, n_frames - 1)] for i in fidxs])
+                gt1 = self.images[jnp.asarray(fidxs)]
+                gt2 = self.images[jnp.asarray(
+                    [min(i + 1, n_frames - 1) for i in fidxs])]
+                flow = self.flows[jnp.asarray(
+                    [min(i, self.flows.shape[0] - 1) for i in fidxs])]
+                keys = jax.random.split(sk, self.n_dp)
+                self.state, self.adam, self.stats, metrics = \
+                    self.train_step(self.state, self.adam, self.stats, lrs,
+                                    z1, z2, gt1, gt2, flow, keys,
+                                    mode=mode, do_stats=do_stats)
+            else:
+                fidx = int(self.rng.integers(0, max(n_frames - 1, 1)))
+                z1 = self.frame_zs[fidx]
+                z2 = self.frame_zs[min(fidx + 1, n_frames - 1)]
+                gt1 = self.images[fidx]
+                gt2 = self.images[min(fidx + 1, n_frames - 1)]
+                flow = self.flows[min(fidx, self.flows.shape[0] - 1)]
+                self.state, self.adam, self.stats, metrics = \
+                    self.train_step(self.state, self.adam, self.stats, lrs,
+                                    z1, z2, gt1, gt2, flow, sk, mode=mode,
+                                    do_stats=do_stats)
 
             if self.controller.gaussian_adjust_anchor:
                 res = self._densify()
@@ -429,5 +535,7 @@ class GOPFitter:
                 self.state, self.gcfg, self.frame_zs[i], d.x_min, d.y_min,
                 d.scale, self.settings, self.window_cap, mode=mode,
                 decoded=decoded)
-            vals.append(float(psnr_fn(img, self.images[i])))
+            from gsvc_tpu.train.trainer import gt_f32
+
+            vals.append(float(psnr_fn(img, gt_f32(self.images[i]))))
         return {"psnr": float(np.mean(vals)), "per_frame": vals}

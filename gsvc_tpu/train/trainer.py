@@ -68,6 +68,15 @@ def _masked_mean(x, mask):
     return jnp.sum(x * mask) / jnp.maximum(jnp.sum(mask), 1.0)
 
 
+def gt_f32(x):
+    """Ground-truth frames/flows may arrive uint8 / bfloat16 (the HBM-
+    resident GOP store — fit.py keeps 600x1080p frames on device only in
+    compact dtypes); cast to f32 inside the jitted step."""
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x.astype(jnp.float32)
+
+
 def _align_to_window1(arr2, shift_rows, rows: int):
     """Re-index window-2 rows into window-1 coordinates.
 
@@ -79,14 +88,13 @@ def _align_to_window1(arr2, shift_rows, rows: int):
     return jax.lax.dynamic_slice_in_dim(padded, rows + shift_rows, rows, 0)
 
 
-def optical_flow_loss(r1: RenderResults, r2: RenderResults, flow,
-                      x_min, y_min, scale, width: int, height: int,
-                      n_offsets: int):
-    """Match gaussians alive in both frames and compare their screen
-    motion against the optical flow (utils/loss_utils.py:76-138).
+def optical_flow_terms(r1: RenderResults, r2: RenderResults, flow,
+                       x_min, y_min, scale, width: int, height: int,
+                       n_offsets: int):
+    """(error sum, match count) for the optical term of one view pair.
 
-    flow: [2, H, W] backward flow in pixels; compared in NDC units.
-    """
+    Exposed separately so the SPMD step can psum numerator and
+    denominator across z-slabs for an exact global masked mean."""
     rows = r1.selection_mask.shape[0]
     shift = (r2.window_start - r1.window_start) * n_offsets
 
@@ -109,7 +117,20 @@ def optical_flow_loss(r1: RenderResults, r2: RenderResults, flow,
 
     err = jnp.abs((xy2 - xy1) - uv)          # [rows, 2]
     # reference takes .abs().mean() over the [N, 2] matched array
-    return _masked_mean(jnp.mean(err, axis=-1), mask)
+    return jnp.sum(jnp.mean(err, axis=-1) * mask), jnp.sum(mask)
+
+
+def optical_flow_loss(r1: RenderResults, r2: RenderResults, flow,
+                      x_min, y_min, scale, width: int, height: int,
+                      n_offsets: int):
+    """Match gaussians alive in both frames and compare their screen
+    motion against the optical flow (utils/loss_utils.py:76-138).
+
+    flow: [2, H, W] backward flow in pixels; compared in NDC units.
+    """
+    num, den = optical_flow_terms(r1, r2, flow, x_min, y_min, scale,
+                                  width, height, n_offsets)
+    return num / jnp.maximum(den, 1.0)
 
 
 def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
@@ -259,6 +280,7 @@ def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
                    stats: TrainStats, lr_values: dict,
                    z1, z2, gt1, gt2, flow, key,
                    mode: GenerateMode, do_stats: bool):
+        gt1, gt2, flow = gt_f32(gt1), gt_f32(gt2), gt_f32(flow)
         params = (state.anchors, state.nets)
         rows = window_cap * k
         m2d = jnp.zeros((4, rows, 2)) if do_stats else None

@@ -85,6 +85,7 @@ def test_spmd_train_step_runs_and_improves():
     cfg, state, settings, mesh, opt, step, adam, stats, lrs = _spmd_setup()
     rng = np.random.default_rng(0)
     gt = jnp.asarray(rng.uniform(0.2, 0.8, (2, 3, 24, 32)), jnp.float32)
+    flow0 = jnp.zeros((2, 2, 24, 32))
     z1 = jnp.asarray([0.0, 0.01])
     z2 = jnp.asarray([0.01, 0.02])
     keys = jax.random.split(jax.random.PRNGKey(0), 2)
@@ -92,9 +93,9 @@ def test_spmd_train_step_runs_and_improves():
     losses = []
     for it in range(8):
         state, adam, stats, metrics = step(
-            state, adam, stats, lrs, z1, z2, gt, gt, keys,
+            state, adam, stats, lrs, z1, z2, gt, gt, flow0, keys,
             mode=GenerateMode.FULL_PRECISION)
-        losses.append(float(metrics["loss"]))
+        losses.append(float(metrics.loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
 
@@ -106,11 +107,13 @@ def test_spmd_stats_and_densify_epoch():
         seed=5)
     rng = np.random.default_rng(1)
     gt = jnp.asarray(rng.uniform(0.2, 0.8, (2, 3, 24, 32)), jnp.float32)
+    flow0 = jnp.zeros((2, 2, 24, 32))
     keys = jax.random.split(jax.random.PRNGKey(2), 2)
     for _ in range(3):
         state, adam, stats, _ = step(
             state, adam, stats, lrs, jnp.zeros(2), jnp.full(2, 0.01),
-            gt, gt, keys, mode=GenerateMode.FULL_PRECISION, do_stats=True)
+            gt, gt, flow0, keys, mode=GenerateMode.FULL_PRECISION,
+            do_stats=True)
     assert float(jnp.sum(stats.anchor_demon)) > 0, \
         "stats must accumulate under the mesh"
 
@@ -127,8 +130,8 @@ def test_spmd_stats_and_densify_epoch():
     # the re-sharded state must still step
     state2, adam2, stats2, metrics = step(
         state2, adam2, stats2, lrs, jnp.zeros(2), jnp.full(2, 0.01),
-        gt, gt, keys, mode=GenerateMode.FULL_PRECISION)
-    assert np.isfinite(float(metrics["loss"]))
+        gt, gt, flow0, keys, mode=GenerateMode.FULL_PRECISION)
+    assert np.isfinite(float(metrics.loss))
 
 
 def test_spmd_entropy_mode_exact_rates():
@@ -149,9 +152,10 @@ def test_spmd_entropy_mode_exact_rates():
     keys = jax.random.split(jax.random.PRNGKey(1), 2)
     _, _, _, metrics = step(
         state_sh, adam, stats, lrs, jnp.zeros(2), jnp.full(2, 0.01),
-        gt, gt, keys, mode=GenerateMode.ENTROPY)
-    assert np.isfinite(float(metrics["loss"]))
-    bpp_sharded = float(metrics["bpp"])
+        gt, gt, jnp.zeros((2, 2, 16, 16)), keys,
+        mode=GenerateMode.ENTROPY)
+    assert np.isfinite(float(metrics.loss))
+    bpp_sharded = float(metrics.bit_per_param)
     assert bpp_sharded > 0
 
     # count-weighted check: the sharded global rate must equal the
