@@ -26,7 +26,22 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     return p
 
 
+def enable_compilation_cache():
+    """Persistent XLA compilation cache: remote compiles through the
+    axon tunnel take minutes for big programs and occasionally drop the
+    connection; the local cache makes relaunches and re-jits cheap."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+    except Exception:
+        pass
+
+
 def resolve_config(args) -> Config:
+    enable_compilation_cache()
     cfg = load_config(args.config_path)
     cfg.pipeline.source_path = args.source_path
     cfg.pipeline.optical_path = args.optical_path

@@ -209,6 +209,11 @@ def main(argv=None):
                        decoded_lpips=ev.get("lpips"),
                        decode_fps=ev["fps"],
                        size_mb=total_bytes / 2 ** 20)
+        if args.lpips_weights == "proxy":
+            # deterministic random-feature proxy, NOT pretrained-VGG
+            # LPIPS — absolute values are not comparable to published
+            # curves (metrics/lpips.py:proxy_lpips_weights)
+            results["lpips_kind"] = "proxy-vgg16w4"
 
     out = pathlib.Path(cfg.pipeline.model_path) / "results.json"
     out.write_text(json.dumps(results, indent=2))

@@ -26,7 +26,48 @@ _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)
 _SCALE = np.array([0.458, 0.448, 0.450], np.float32)
 
 
+_PROXY_CHANNELS = (16, 16, 32, 32, 64, 64, 64, 128, 128, 128,
+                   128, 128, 128)   # VGG16 widths / 4
+
+
+def proxy_lpips_weights(seed: int = 0) -> Dict[str, jnp.ndarray]:
+    """Deterministic reduced-width (VGG16/4) random-feature LPIPS weights.
+
+    No pretrained VGG16 exists in this zero-egress image
+    (scripts/export_lpips_weights.py documents the one-off export for a
+    connected machine).  Random-feature VGG distances are a documented
+    perceptual proxy — the LPIPS paper (Zhang et al., CVPR 2018, Tab. 5)
+    shows even UNTRAINED networks under the same normalized-feature
+    distance outperform pixel metrics on perceptual judgements.  He-init
+    convs, uniform positive linear heads, a fixed PCG64 stream: the same
+    seed reproduces bit-identical weights on any platform, so golden
+    values can be pinned in CI and proxy numbers are comparable across
+    runs.  NOT comparable to published (pretrained-VGG) LPIPS absolute
+    values — artifacts must label it ``lpips_kind: proxy-vgg16w4``.
+    """
+    rng = np.random.default_rng(seed)
+    out: Dict[str, jnp.ndarray] = {}
+    in_ch = 3
+    for ci, conv_idx in enumerate(_VGG_CONVS):
+        oc = _PROXY_CHANNELS[ci]
+        fan_in = in_ch * 9
+        w = rng.normal(0.0, np.sqrt(2.0 / fan_in),
+                       (oc, in_ch, 3, 3)).astype(np.float32)
+        out[f"features.{conv_idx}.weight"] = jnp.asarray(w)
+        out[f"features.{conv_idx}.bias"] = jnp.zeros((oc,), jnp.float32)
+        in_ch = oc
+    for k, upto in enumerate(_SLICES):
+        c = _PROXY_CHANNELS[upto - 1]
+        lin = rng.uniform(0.5, 1.5, (1, c, 1, 1)).astype(np.float32) / c
+        out[f"lin{k}.weight"] = jnp.asarray(lin)
+    return out
+
+
 def load_lpips_weights(path: str) -> Dict[str, jnp.ndarray]:
+    """Load an exported npz, or the deterministic proxy for the sentinel
+    path ``"proxy"`` (see proxy_lpips_weights)."""
+    if path == "proxy":
+        return proxy_lpips_weights()
     data = np.load(path)
     return {k: jnp.asarray(data[k]) for k in data.files}
 

@@ -164,6 +164,12 @@ def _chunk_alpha(scalars, xs, ys, compute_dtype, basis=None):
     quadratic form is evaluated as ONE MXU matmul  q = G[C,8] @ basis
     (expanding q = a d0^2 + 2b d0 d1 + c d1^2 in the pixel polynomial
     basis) instead of ~8 elementwise VPU passes over [C, P].
+    MEASURED SLOWER on v5e (bench 3.25 -> 2.97 it/s): the G form needs
+    Precision.HIGHEST (mux^2 terms up to 1e6 cancel against the basis —
+    single-pass bf16 MXU would lose the cancellation the d0-first VPU
+    form performs exactly), and the 6-pass f32 matmul at K=8-padded-128
+    costs more than the VPU passes it replaces.  Kept selectable for
+    future TPU generations; no kernel passes ``basis`` today.
     """
     mu_x, mu_y, con_a, con_b, con_c, op = scalars[:6]
     if basis is not None and compute_dtype == "float32":
@@ -234,18 +240,15 @@ def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool,
         tile_id = pl.program_id(0) * tps + t
         count = count_ref[tile_id]
         xs, ys, cx, cy = _tile_coords(settings, tile_id)
-        basis = _basis8(xs, ys)
 
-        def body(state, t=t, xs=xs, ys=ys, cx=cx, cy=cy, count=count,
-                 basis=basis):
+        def body(state, t=t, xs=xs, ys=ys, cx=cx, cy=cy, count=count):
             c, t_carry, acc = state
             if save_tchk:
                 tchk_ref[t, c, :] = t_carry[0]
             sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
             scalars = _chunk_scalars(planes_refs, t, sl, cx, cy)
             alpha, _, _, _ = _chunk_alpha(scalars, xs, ys,
-                                          settings.compute_dtype,
-                                          basis=basis)
+                                          settings.compute_dtype)
             alpha32 = alpha.astype(jnp.float32)
             excl, chunk_t = _trans_chunk(alpha32, chunk)
             t_before = t_carry * excl                         # [C, P] fp32
@@ -343,8 +346,7 @@ def _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         scalars = _chunk_scalars(planes_refs, t, sl, cx, cy)
         alpha, act, _, _ = _chunk_alpha(scalars, xs, ys,
-                                        settings.compute_dtype,
-                                        basis=basis)
+                                        settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
         excl, _ = _trans_chunk(alpha32, chunk, with_total=False)
         t_start = tchk_ref[t, c, :][None, :]
@@ -603,7 +605,6 @@ def _fwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
     xs, ys, cx, cy = _tile_coords(settings, u)
     xs_eff = jnp.where(rev, -xs, xs)
     tri_fwd = jnp.where(rev, _tri_excl_upper(chunk), _tri_excl_lower(chunk))
-    basis = _basis8(xs_eff, ys)
     n_used = jnp.minimum((count + chunk - 1) // chunk, n_chunks)
 
     def body(state):
@@ -616,8 +617,7 @@ def _fwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         scalars = _chunk_scalars(planes_refs, 0, sl, cx, cy)
         alpha, _, _, _ = _chunk_alpha(scalars, xs_eff, ys,
-                                      settings.compute_dtype,
-                                      basis=basis)
+                                      settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
         excl, chunk_t = _trans_chunk(alpha32, chunk, tri=tri_fwd)
         t_before = t_carry * excl                         # [C, P] fp32
@@ -714,8 +714,7 @@ def _bwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
         sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
         scalars = _chunk_scalars(planes_refs, 0, sl, cx, cy)
         alpha, act, _, _ = _chunk_alpha(scalars, xs_eff, ys,
-                                        settings.compute_dtype,
-                                        basis=basis)
+                                        settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
         excl, _ = _trans_chunk(alpha32, chunk, with_total=False, tri=tri_fwd)
         t_before = tchk_ref[0, p, :][None, :] * excl

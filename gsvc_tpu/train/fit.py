@@ -167,11 +167,21 @@ class GOPFitter:
         if self.mesh is not None:
             from gsvc_tpu.parallel.spmd import make_spmd_train_step
 
+            # slab-overlap bound for the log-T exchange: the GLOBAL max
+            # window band (unclamped) tells how many consecutive slabs a
+            # frame's window can intersect
+            global_band = compute_window_cap(
+                np.asarray(self.state.anchors.anchor[:, 2]),
+                int(self.state.n_active), self.frame_zs,
+                self.gcfg.threshold)
+            slab_rows = self.capacity // self.n_sp
+            neighbors = min(self.n_sp - 1, -(-global_band // slab_rows))
             self.train_step = make_spmd_train_step(
                 self.gcfg, self.settings, self.window_cap,
                 self.cfg.optimization, width=d.width, height=d.height,
                 scale=d.scale, x_min=d.x_min, y_min=d.y_min,
-                mesh=self.mesh, rasterizer=rasterizer)
+                mesh=self.mesh, rasterizer=rasterizer,
+                overlap_neighbors=neighbors)
         else:
             self.train_step = make_train_step(
                 self.gcfg, self.settings, self.window_cap,
@@ -181,6 +191,26 @@ class GOPFitter:
 
     def _lr_values(self, it: int) -> Dict[str, float]:
         return {name: sched(it) for name, sched in self.schedules.items()}
+
+    def _step_with_retry(self, *args, **kw):
+        """The axon tunnel's remote-compile RPC occasionally drops large
+        programs mid-transfer; compile failures happen BEFORE buffer
+        donation, so retrying is safe (a post-donation failure raises a
+        deleted-buffer error on retry and propagates)."""
+        for attempt in range(4):
+            try:
+                return self.train_step(*args, **kw)
+            except Exception as e:  # jax.errors.JaxRuntimeError etc.
+                msg = str(e)
+                transient = ("remote_compile" in msg or "read body" in msg
+                             or "UNAVAILABLE" in msg
+                             or "Connection reset" in msg)
+                if not transient or attempt == 3:
+                    raise
+                self.log(f"transient compile/RPC failure "
+                         f"(attempt {attempt + 1}/4): {msg[:160]} — "
+                         f"retrying in 20s")
+                time.sleep(20)
 
     # -- densification bridge ---------------------------------------------
     def _maybe_resize_window(self, z_sorted: np.ndarray, n_active: int
@@ -439,9 +469,10 @@ class GOPFitter:
                     [min(i, self.flows.shape[0] - 1) for i in fidxs])]
                 keys = jax.random.split(sk, self.n_dp)
                 self.state, self.adam, self.stats, metrics = \
-                    self.train_step(self.state, self.adam, self.stats, lrs,
-                                    z1, z2, gt1, gt2, flow, keys,
-                                    mode=mode, do_stats=do_stats)
+                    self._step_with_retry(
+                        self.state, self.adam, self.stats, lrs,
+                        z1, z2, gt1, gt2, flow, keys,
+                        mode=mode, do_stats=do_stats)
             else:
                 fidx = int(self.rng.integers(0, max(n_frames - 1, 1)))
                 z1 = self.frame_zs[fidx]
@@ -450,9 +481,10 @@ class GOPFitter:
                 gt2 = self.images[min(fidx + 1, n_frames - 1)]
                 flow = self.flows[min(fidx, self.flows.shape[0] - 1)]
                 self.state, self.adam, self.stats, metrics = \
-                    self.train_step(self.state, self.adam, self.stats, lrs,
-                                    z1, z2, gt1, gt2, flow, sk, mode=mode,
-                                    do_stats=do_stats)
+                    self._step_with_retry(
+                        self.state, self.adam, self.stats, lrs,
+                        z1, z2, gt1, gt2, flow, sk, mode=mode,
+                        do_stats=do_stats)
 
             if self.controller.gaussian_adjust_anchor:
                 res = self._densify()

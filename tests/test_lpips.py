@@ -95,3 +95,29 @@ def test_evaluate_video_reports_lpips():
         state, cfg, settings, 32, np.array([0.0, 0.01]), -0.5, -0.5, 30.0,
         gt_images=gt, compute_msssim=False, lpips_weights=synth_weights())
     assert "lpips" in res and np.isfinite(res["lpips"])
+
+
+def test_proxy_weights_deterministic_and_golden():
+    """The committed proxy metric: bit-identical weights per seed and a
+    pinned golden distance value (round-2 verdict item 5 fallback — a
+    deterministic reduced-channel VGG with pinned activations)."""
+    from gsvc_tpu.metrics.lpips import load_lpips_weights, proxy_lpips_weights
+
+    w1 = proxy_lpips_weights()
+    w2 = load_lpips_weights("proxy")
+    for k in w1:
+        np.testing.assert_array_equal(np.asarray(w1[k]), np.asarray(w2[k]))
+    # pinned golden: structured image pair, fixed transform
+    h = w = 32
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    a = np.stack([np.sin(xx / 5.0), np.cos(yy / 7.0),
+                  np.sin((xx + yy) / 9.0)], -1).astype(np.float32) * 0.5 + 0.5
+    b = np.roll(a, 3, axis=1) * 0.9
+    d_ab = float(lpips(w1, a, b))
+    d_aa = float(lpips(w1, a, a))
+    assert d_aa < 1e-6
+    assert d_ab > 1e-4
+    # golden pin (CPU f32, seed 0) recorded at commit time; 1e-3 rel
+    # headroom for XLA version drift
+    golden = 0.013052504509687424
+    assert abs(d_ab - golden) / golden < 1e-3, d_ab

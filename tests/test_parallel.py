@@ -66,6 +66,74 @@ def test_slab_composite_matches_single_device():
                                atol=2e-4)
 
 
+def test_slab_composite_neighbor_exchange_matches():
+    """K-ppermute log-T exchange == all_gather exchange == single device
+    when the TSW window spans <= K+1 slabs (round-2 verdict item 6)."""
+    from gsvc_tpu.config import ModelConfig
+    from gsvc_tpu.models.gaussians import (
+        GaussianConfig, init_model, update_anchor_bound,
+    )
+
+    mc = ModelConfig(
+        anchor_feature_dim=8, n_offsets=4, threshold=0.08,
+        time_multi_res=4, offset_multi_res=4, log2=6, log2_2D=7,
+        grid_feature_dim=2, resolutions_list=(6, 10),
+        resolutions_list_2D=(12, 20))
+    cfg = GaussianConfig.from_model_config(mc)
+    rng = np.random.default_rng(11)
+    # anchors spread over z in [-0.5, 0.5]: a +-0.08 window around z=0
+    # holds ~16% of rows => spans 2 of 4 equal-count slabs
+    pts = rng.uniform([-0.5, -0.4, -0.5], [0.5, 0.4, 0.5],
+                      (128, 3)).astype(np.float32)
+    state = init_model(jax.random.PRNGKey(3), cfg, pts, capacity=128,
+                       voxel_size=0.001)
+    state = update_anchor_bound(state, -0.6, -0.45, -0.5)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(4))
+    state = state._replace(anchors=state.anchors._replace(
+        feat=0.5 * jax.random.normal(k1, state.anchors.feat.shape),
+        offset=0.3 * jax.random.normal(k2, state.anchors.offset.shape)))
+
+    settings = make_raster_settings(cfg, 24, 32, tile_h=8, tile_w=16,
+                                    gaussian_cap=128, chunk=32)
+    full = render_frame(state, cfg, 0.0, settings=settings,
+                        window_cap=128, mode=GenerateMode.FULL_PRECISION,
+                        **GEOM)
+
+    mesh = make_mesh(1, 4, devices=jax.devices()[:4])
+    cap = 32
+
+    def body(anchors, nets, n_active, bmin, bmax, neighbors, flip):
+        from gsvc_tpu.models.gaussians import ModelState
+        st = ModelState(anchors=anchors, nets=nets, n_active=n_active,
+                        x_bound_min=bmin, x_bound_max=bmax)
+        r = render_frame(st, cfg, 0.0, settings=settings,
+                         window_cap=cap, mode=GenerateMode.FULL_PRECISION,
+                         flip=flip, **GEOM)
+        img, t = combine_slab_renders(r.image, r.transmittance, flip,
+                                      settings.bg, neighbors=neighbors)
+        return img
+
+    for flip in (False, True):
+        ref = render_frame(state, cfg, 0.0, settings=settings,
+                           window_cap=128,
+                           mode=GenerateMode.FULL_PRECISION, flip=flip,
+                           **GEOM)
+        outs = {}
+        for neighbors in (None, 1):
+            import functools
+            f = shard_map(
+                functools.partial(body, neighbors=neighbors, flip=flip),
+                mesh=mesh,
+                in_specs=(P("sp"), P(), P(), P(), P()),
+                out_specs=P(), check_vma=False)
+            outs[neighbors] = np.asarray(
+                f(shard_model_state(state, mesh).anchors, state.nets,
+                  state.n_active, state.x_bound_min, state.x_bound_max))
+        np.testing.assert_allclose(outs[1], outs[None], atol=1e-6)
+        np.testing.assert_allclose(outs[1], np.asarray(ref.image),
+                                   atol=2e-4)
+
+
 def _spmd_setup(seed=3, n_dp=2, n_sp=4):
     cfg, state = make_state(n=128, capacity=128, seed=seed)
     settings = make_raster_settings(cfg, 24, 32, tile_h=8, tile_w=16,
@@ -215,8 +283,13 @@ def test_gop_parallel_step_matches_independent_fits():
     z2 = jnp.full(n_gops, 0.01)
     keys = jax.random.split(jax.random.PRNGKey(5), n_gops)
 
-    stacked, adams, metrics = step(stacked, adams, lrs, z1, z2, gts, gts,
-                                   keys, mode=GenerateMode.FULL_PRECISION)
+    from gsvc_tpu.train.trainer import init_stats as istats2
+    gstats = jax.tree.map(lambda x: jnp.stack([x] * n_gops),
+                          istats2(64, cfg.n_offsets))
+    flow0 = jnp.zeros((n_gops, 2, 16, 16))
+    stacked, adams, gstats, metrics = step(
+        stacked, adams, gstats, lrs, z1, z2, gts, gts, flow0,
+        keys, mode=GenerateMode.FULL_PRECISION)
     fanout_losses = np.asarray(metrics["loss"])
 
     # reference: single-chip steps, one per GOP
@@ -234,24 +307,42 @@ def test_gop_parallel_step_matches_independent_fits():
                                    rtol=1e-4)
 
 
-def test_fit_gops_smoke():
-    """Library-level GOP fan-out: two GOPs fit in parallel over dp."""
+def test_fit_gops_full_schedule():
+    """Library-level GOP fan-out through ALL FOUR schedule phases with a
+    synchronized densify epoch (round-2 verdict item 7)."""
     from gsvc_tpu.config import Config, PipelineConfig
     from gsvc_tpu.framecube import FrameCubeDataset
     from gsvc_tpu.parallel.spmd import fit_gops
     from tests.test_train import small_config, synthetic_video
 
-    cfg = small_config(iterations=20)
+    cfg = small_config(iterations=16)
     cfg.pipeline = PipelineConfig(tile_h=8, tile_w=16, visible_capacity=64,
                                   gaussian_chunk=16)
+    o = cfg.optimization
+    o.full_precision_training_total = 6
+    o.quantized_training_total = 2
+    o.entropy_constrained_train_total = 6
+    o.ste_entropy_constrained_train_total = 2
+    o.start_stat = 1
+    o.update_from = 2
+    o.update_interval = 4
+    o.update_until = 6
     datasets = [FrameCubeDataset(images=synthetic_video(t=4, seed=s))
                 for s in (0, 1)]
     mesh = make_mesh(2, 1, devices=jax.devices()[:2])
-    states, reports = fit_gops(mesh, cfg, datasets, iterations=20, seed=0)
+    logs = []
+    states, reports = fit_gops(mesh, cfg, datasets, iterations=16, seed=0,
+                               log_fn=logs.append)
     assert len(states) == 2 and len(reports) == 2
     for rep in reports:
         assert rep, "per-GOP history must be recorded"
         assert np.isfinite(rep[-1]["loss"])
+    assert any("densify" in m for m in logs), \
+        "densify epoch must run under the fan-out"
+    modes = {m.split("mode=")[1].split(" ")[0]
+             for m in logs if "mode=" in m}
+    assert "STE_ENTROPY" in modes or "ENTROPY" in modes, \
+        "entropy phases must run under the fan-out"
     # independent GOPs diverge
     assert not np.allclose(np.asarray(states[0].anchors.feat),
                            np.asarray(states[1].anchors.feat))
