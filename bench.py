@@ -151,6 +151,33 @@ def main():
     float(np.asarray(img[0, 0, 0]))
     decode_fps = n_frames / (time.perf_counter() - t0)
 
+    # DEVICE-TIME decode fps: loop N frame reconstructions inside ONE jit
+    # and difference N vs 1 — excludes the axon tunnel's per-call RPC
+    # overhead entirely (CLAUDE.md measurement rules).  This is the
+    # number comparable to the reference's self-measured decode FPS
+    # (utils/report_utils.py:387-390, a pure device render loop).
+    import functools as _ft
+
+    @_ft.partial(jax.jit, static_argnames=("n",))
+    def decode_loop(st, n):
+        def body(i, acc):
+            img, _, _, _ = render_frame_views(
+                st, cfg, jnp.float32(0.001) * i, x_min, y_min, scale,
+                settings, window_cap, mode=GenerateMode.FULL_PRECISION,
+                rasterizer="pallas" if on_tpu else "jnp", inference=True)
+            return acc + img[0, 0, 0]
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    def timed_loop(n):
+        float(np.asarray(decode_loop(state, n)))       # compile
+        t0 = time.perf_counter()
+        float(np.asarray(decode_loop(state, n)))
+        return time.perf_counter() - t0
+
+    n_big = 20
+    dt = (timed_loop(n_big) - timed_loop(1)) / (n_big - 1)
+    decode_fps_device = 1.0 / max(dt, 1e-9)
+
     print(json.dumps({
         "metric": "train_iters_per_sec_1080p",
         "value": round(fp_its, 3),
@@ -160,6 +187,7 @@ def main():
             "entropy_it_per_sec": round(entropy_its, 3),
             "representative_it_per_sec": round(rep_its, 3),
             "decode_fps": round(decode_fps, 2),
+            "decode_fps_device": round(decode_fps_device, 2),
             "rasterizer": rasterizer,
             "compute_dtype": settings.compute_dtype,
         },

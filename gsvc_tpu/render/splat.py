@@ -61,7 +61,29 @@ class RasterSettings:
     gaussian_cap: int = 1024     # max binned gaussians per tile
     chunk: int = 64              # gaussians per compositing step
     tiles_per_gaussian: int = 64 # max tile copies emitted per gaussian
+    # Clamp the activated 3D scale at projection so every footprint bbox
+    # fits the tiles_per_gaussian copy budget.  The reference rasterizer
+    # emits unbounded per-tile copy lists, so giant transient gaussians
+    # (random-init explosions before scaling_reg bites) merely render
+    # slowly; our fixed budget would instead TRUNCATE their coverage
+    # row-major (spatially biased drops -> corrupted images/gradients ->
+    # runaway scale growth, observed live at the 100k-anchor 1080p
+    # operating point).  With the clamp, coverage clipping is impossible
+    # by construction; converged scales sit far below the bound (~0.05
+    # NDC at the flagship geometry) and scaling_reg still sees the raw
+    # value, so over-bound gaussians keep their shrink gradient.
+    clamp_to_coverage: bool = True
     bg: float = 0.0
+
+    @property
+    def max_radius_px(self) -> float:
+        """Largest pixel radius whose tile bbox fits tiles_per_gaussian:
+        (2R/tw + 1)(2R/th + 1) <= t_max, solved for R."""
+        a = 2.0 / self.tile_w
+        b = 2.0 / self.tile_h
+        s = a + b
+        t_max = float(self.tiles_per_gaussian)
+        return (-s + np.sqrt(s * s + 4 * a * b * (t_max - 1))) / (2 * a * b)
     # "bfloat16" runs the Pallas alpha evaluation in bf16 (2x VPU) with
     # fp32 transmittance/accumulation; ~0.4% alpha error — training only
     compute_dtype: str = "float32"
@@ -137,6 +159,12 @@ def project_gaussians(
     can read d(loss)/d(screen position) — the densification statistic
     (reference: screenspace_points, renderer.py:37-42).
     """
+    if settings.clamp_to_coverage:
+        # sigma bound: 3 sqrt(sigma^2 scale^2 + kernel) <= max_radius_px
+        r = settings.max_radius_px
+        sig_max = float(np.sqrt(max((r / 3.0) ** 2 - settings.kernel_size,
+                                    1e-6))) / scale
+        scaling = jnp.minimum(scaling, sig_max)
     x = -xyz[:, 0] if flip else xyz[:, 0]
     y = xyz[:, 1]
     z = xyz[:, 2]

@@ -142,9 +142,17 @@ class GOPFitter:
         # pairs — over the 16 GB v5e HBM — but 6 GB as (u8 frames, bf16
         # flows).  PNG sources are exactly representable in uint8; the
         # jitted step casts to f32 on device (trainer._gt_f32).
-        img8 = np.clip(np.round(self.dataset.images * 255.0), 0, 255
-                       ).astype(np.uint8)
-        self.images = jnp.asarray(np.transpose(img8, (0, 3, 1, 2)))
+        # per-frame conversion: one 15 GB whole-stack round/transpose is
+        # cache-hostile (~10 min on this 1-core host); frame-at-a-time
+        # stays in cache (~1 min for 600x1080p)
+        t_n, h, w = (self.dataset.images.shape[0], dataset.height,
+                     dataset.width)
+        img8 = np.empty((t_n, 3, h, w), np.uint8)
+        for i in range(t_n):
+            f8 = np.clip(np.round(self.dataset.images[i] * 255.0), 0, 255
+                         ).astype(np.uint8)
+            img8[i] = np.transpose(f8, (2, 0, 1))
+        self.images = jnp.asarray(img8)
         if self.dataset.flows is not None:
             self.flows = jnp.asarray(self.dataset.flows, jnp.bfloat16)
         else:
