@@ -923,13 +923,20 @@ def _mca_bwd(settings, res, g_out):
     grads = _mirror_call_bwd(settings, planes, counts.reshape(-1), t_chk,
                              g_out, per_view_mu=has_m2d)
     d_attrs, d_m2d = [], []
+    if has_m2d:
+        # per-view blocks are written at GRID row order g = (f*T+u)*2+v
+        # (u-major, view innermost — consecutive steps share the plane
+        # block), NOT the view-major order of the image outputs
+        cap = grads[0].shape[-1]
+        mux_pv = grads[0].reshape(f_n, t_n, 2, cap)
+        muy_pv = grads[1].reshape(f_n, t_n, 2, cap)
     for f in range(f_n):
         sl = slice(f * t_n, (f + 1) * t_n)
         if has_m2d:
-            mux_v0 = grads[0][(2 * f) * t_n:(2 * f + 1) * t_n]
-            mux_v1 = grads[0][(2 * f + 1) * t_n:(2 * f + 2) * t_n]
-            muy_v0 = grads[1][(2 * f) * t_n:(2 * f + 1) * t_n]
-            muy_v1 = grads[1][(2 * f + 1) * t_n:(2 * f + 2) * t_n]
+            mux_v0 = mux_pv[f, :, 0]
+            mux_v1 = mux_pv[f, :, 1]
+            muy_v0 = muy_pv[f, :, 0]
+            muy_v1 = muy_pv[f, :, 1]
             cols = [mux_v0 + mux_v1, muy_v0 + muy_v1]
         else:
             cols = [grads[0][sl], grads[1][sl]]

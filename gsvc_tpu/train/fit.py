@@ -372,6 +372,7 @@ class GOPFitter:
             self._overflow_strikes = 0
             s = self.settings
             base_cap = self.cfg.pipeline.visible_capacity or 1024
+            base_tpg = 32
             if (num_rendered >= 0 and s.gaussian_cap > base_cap
                     and s.gaussian_cap > 2 * s.chunk):
                 avg_fill = num_rendered / (4.0 * s.n_tiles)
@@ -381,14 +382,21 @@ class GOPFitter:
                     if self._underfill_strikes >= 5:
                         new_cap = max(base_cap, s.gaussian_cap // 2,
                                       2 * s.chunk)
+                        # shrink the copy budget with the fill: a grown
+                        # tiles_per_gaussian keeps the binning sort
+                        # (m * t_max keys) oversized forever otherwise
+                        new_tpg = max(base_tpg, s.tiles_per_gaussian // 2)
                         import dataclasses
                         self.settings = dataclasses.replace(
-                            s, gaussian_cap=new_cap)
+                            s, gaussian_cap=new_cap,
+                            tiles_per_gaussian=new_tpg)
                         self._build_step()
                         self._underfill_strikes = 0
                         self.log(f"iter {it}: tile fill {avg_fill:.0f} << "
                                  f"cap {s.gaussian_cap}; shrinking "
-                                 f"gaussian_cap -> {new_cap} (re-jit)")
+                                 f"gaussian_cap -> {new_cap}, "
+                                 f"tiles_per_gaussian -> {new_tpg} "
+                                 f"(re-jit)")
                         return True
                 else:
                     self._underfill_strikes = 0

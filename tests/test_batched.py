@@ -176,6 +176,34 @@ def test_means2d_gradients_stay_per_view():
                                    err_msg=f"view {vi}")
 
 
+def test_means2d_gradients_pallas_matches_jnp():
+    """The mirror-kernel path's per-view mu-grad outputs (do_stats mode)
+    must reproduce the jnp path's means2d cotangents — including the
+    grid-row ordering of the per-view blocks (caught live: a view-major
+    read of the u-major blocks permuted the densification screen
+    gradients into noise on real TPU)."""
+    state, cfg = tiny_model(seed=9)
+    settings = settings_for(cfg, 48)
+    rows = WINDOW_CAP * cfg.n_offsets
+    w = jnp.asarray([1.0, 2.0, 3.0, 4.0])
+
+    def loss(m2d, rast):
+        pr = render_pair(state, cfg, Z1, Z2, settings=settings,
+                         window_cap=WINDOW_CAP,
+                         mode=GenerateMode.FULL_PRECISION, key=None,
+                         rasterizer=rast, means2d=m2d, **GEOM)
+        return jnp.sum(w[:, None, None, None] * pr.images ** 2)
+
+    z = jnp.zeros((4, rows, 2))
+    g_jnp = jax.grad(lambda m: loss(m, "jnp"))(z)
+    g_pal = jax.grad(lambda m: loss(m, "pallas_train"))(z)
+    for vi in range(4):
+        np.testing.assert_allclose(np.asarray(g_pal[vi]),
+                                   np.asarray(g_jnp[vi]),
+                                   rtol=2e-3, atol=2e-4,
+                                   err_msg=f"view {vi}")
+
+
 def test_pair_entropy_contexts_match_direct():
     """The union-window context slices must equal per-window queries,
     in both the shared-union and fallback branches."""
