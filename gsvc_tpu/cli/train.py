@@ -155,11 +155,10 @@ def main(argv=None):
     report = fitter.fit(eval_every=args.eval_every, rate_log_every=500,
                         checkpoint_iterations=tuple(
                             args.checkpoint_iterations),
-                        checkpoint_dir=cfg.pipeline.model_path)
+                        checkpoint_dir=cfg.pipeline.model_path,
+                        metrics_writer=metrics)
     fitter.save_snapshot(str(pathlib.Path(cfg.pipeline.model_path)
                              / "point_cloud" / "final"))
-    for rec in report.history:
-        metrics.write(rec.pop("iter"), **rec)
 
     ckpt = pathlib.Path(cfg.pipeline.model_path) / "chkpnt_final.pkl"
     save_checkpoint(str(ckpt), fitter, report.iterations)

@@ -455,7 +455,8 @@ class GOPFitter:
             eval_every: int = 0, log_every: int = 100,
             rate_log_every: int = 0,
             checkpoint_iterations: tuple = (),
-            checkpoint_dir: Optional[str] = None) -> FitReport:
+            checkpoint_dir: Optional[str] = None,
+            metrics_writer=None) -> FitReport:
         opt = self.cfg.optimization
         total = iterations if iterations is not None else opt.iterations
         report = FitReport()
@@ -509,11 +510,15 @@ class GOPFitter:
 
             if log_every and it % log_every == 0:
                 m = jax.device_get(metrics)
-                report.history.append(
-                    {"iter": it, "loss": float(m.loss),
-                     "psnr": float(m.psnr),
-                     "bpp": float(m.bit_per_param),
-                     "n_active": int(self.state.n_active)})
+                rec = {"iter": it, "loss": float(m.loss),
+                       "psnr": float(m.psnr),
+                       "bpp": float(m.bit_per_param),
+                       "n_active": int(self.state.n_active)}
+                report.history.append(rec)
+                if metrics_writer is not None:
+                    # streamed live so telemetry survives a killed run
+                    metrics_writer.write(it, **{k: v for k, v in rec.items()
+                                                if k != "iter"})
                 ovf = int(m.overflow)
                 self.log(f"iter {it}: loss={float(m.loss):.5f} "
                          f"psnr={float(m.psnr):.2f} "

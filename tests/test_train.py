@@ -89,6 +89,50 @@ class TestFitting:
         assert fitter.stats.offset_denom.shape[0] == cap * k
 
 
+def test_window_cap_shrinks_after_heavy_prune():
+    """Round-2 verdict item 8: after heavy pruning the padded TSW window
+    must shrink back (not just grow) and the step must re-jit to the
+    smaller shape — a high-water window otherwise pays generation +
+    gather cost for dead rows forever (train/fit.py:_maybe_resize_window)."""
+    import jax.numpy as jnp
+
+    from gsvc_tpu.train.trainer import TrainStats
+
+    frames = synthetic_video(t=6)
+    ds = FrameCubeDataset(images=frames)
+    cfg = small_config(iterations=10)
+    cfg.optimization.init_anchor_num = 1000
+    fitter = GOPFitter(cfg, ds, seed=0)
+    old_window = fitter.window_cap
+    # precondition: window above the 512 shrink quantum so a halving is
+    # observable
+    assert old_window >= 1024, old_window
+
+    n = int(fitter.state.n_active)
+    k = fitter.gcfg.n_offsets
+    cap = fitter.capacity
+    # craft stats so adjust_anchors prunes ~90% (opacity_accum below
+    # min_opacity * demon with enough observations) and grows nothing
+    demon = np.full((cap, 1), 100.0, np.float32)
+    opa = np.zeros((cap, 1), np.float32)
+    opa[: n // 10] = 100.0
+    fitter.stats = TrainStats(
+        opacity_accum=jnp.asarray(opa),
+        anchor_demon=jnp.asarray(demon),
+        offset_gradient_accum=jnp.zeros((cap * k, 1)),
+        offset_denom=jnp.ones((cap * k, 1)),
+    )
+    old_step = fitter.train_step
+    res = fitter._densify()
+    assert res.n_pruned >= int(0.8 * n), res
+    assert fitter.window_cap <= old_window // 2, \
+        (old_window, fitter.window_cap)
+    assert fitter.train_step is not old_step  # re-jit to the smaller shape
+    # the shrunken step still compiles and runs
+    report = fitter.fit(iterations=1, log_every=0)
+    assert np.isfinite(report.loss)
+
+
 def test_entropy_phase_smoke():
     """Three iterations in ENTROPY mode: rate terms finite, loss finite."""
     frames = synthetic_video(t=4)
