@@ -178,6 +178,17 @@ def main():
     dt = (timed_loop(n_big) - timed_loop(1)) / (n_big - 1)
     decode_fps_device = 1.0 / max(dt, 1e-9)
 
+    # representative content (shrunken mid-fit scales, live early exit) —
+    # the workload class real stream decoding sees (VERDICT r2 item 4)
+    def timed_loop_rep(n):
+        float(np.asarray(decode_loop(state_rep, n)))
+        t0 = time.perf_counter()
+        float(np.asarray(decode_loop(state_rep, n)))
+        return time.perf_counter() - t0
+
+    dt_rep = (timed_loop_rep(n_big) - timed_loop_rep(1)) / (n_big - 1)
+    decode_fps_device_rep = 1.0 / max(dt_rep, 1e-9)
+
     print(json.dumps({
         "metric": "train_iters_per_sec_1080p",
         "value": round(fp_its, 3),
@@ -188,6 +199,7 @@ def main():
             "representative_it_per_sec": round(rep_its, 3),
             "decode_fps": round(decode_fps, 2),
             "decode_fps_device": round(decode_fps_device, 2),
+            "decode_fps_device_rep": round(decode_fps_device_rep, 2),
             "rasterizer": rasterizer,
             "compute_dtype": settings.compute_dtype,
         },

@@ -73,6 +73,168 @@ def _train_segmented(args, cfg):
     return summary
 
 
+def _codec_eval(state, gcfg, settings, window_cap, capacity, frame_zs,
+                dataset, cfg, out_dir, lpips_arg, log):
+    """Encode -> decode -> evaluate one fitted GOP model.
+
+    Shared by the single-GOP path (main) and the fan-out path
+    (_train_gop_parallel); mirrors the reference's post-train flow
+    (train_model.py: conduct_encoding/conduct_decoding + report)."""
+    import pathlib
+
+    from gsvc_tpu.codec.bitstream import conduct_decoding, conduct_encoding
+    from gsvc_tpu.models.gaussians import GenerateMode
+    from gsvc_tpu.report import bits_per_pixel, evaluate_video
+    from gsvc_tpu.utils.checkpoint import save_streams
+
+    streams, meta, bit_info, enc_state, enc_time = conduct_encoding(
+        state, gcfg, model_config=model_config_dict(cfg),
+        video_info={"width": dataset.width, "height": dataset.height,
+                    "num_frames": dataset.num_frames})
+    bs_dir = pathlib.Path(out_dir) / "bitstreams"
+    total_bytes = save_streams(str(bs_dir), streams)
+    bpp = bits_per_pixel(total_bytes * 8, dataset.width, dataset.height,
+                         dataset.num_frames)
+    log("encoded %.3f MB (%.5f bpp) in %.1fs"
+        % (total_bytes / 2 ** 20, bpp, enc_time))
+
+    dec_state, _, dec_time = conduct_decoding(
+        streams, gcfg, enc_state, capacity=capacity)
+    log("decoded in %.1fs" % dec_time)
+
+    lpips_w = None
+    if lpips_arg:
+        from gsvc_tpu.metrics.lpips import load_lpips_weights
+
+        lpips_w = load_lpips_weights(lpips_arg)
+    ev = evaluate_video(
+        dec_state, gcfg, settings, window_cap, frame_zs,
+        dataset.x_min, dataset.y_min, dataset.scale,
+        gt_images=dataset.images, mode=GenerateMode.DECODED,
+        decoded=True, lpips_weights=lpips_w)
+    log("decoded eval: psnr=%.2f ssim=%.4f lpips=%s fps=%.1f"
+        % (ev.get("psnr", 0), ev.get("ssim", 0),
+           ev.get("lpips", "n/a"), ev["fps"]))
+    results = dict(bpp=bpp, encode_seconds=enc_time,
+                   decode_seconds=dec_time,
+                   decoded_psnr=ev.get("psnr"),
+                   decoded_ssim=ev.get("ssim"),
+                   decoded_ms_ssim=ev.get("ms_ssim"),
+                   decoded_lpips=ev.get("lpips"),
+                   decode_fps=ev["fps"],
+                   size_mb=total_bytes / 2 ** 20)
+    if lpips_arg == "proxy":
+        # deterministic random-feature proxy, NOT pretrained-VGG LPIPS —
+        # absolute values are not comparable to published curves
+        # (metrics/lpips.py:proxy_lpips_weights)
+        results["lpips_kind"] = "proxy-vgg16w4"
+    return results
+
+
+def _train_gop_parallel(args, cfg):
+    """Fan per-GOP fits over the mesh's dp axis in ONE jitted step
+    (parallel/spmd.py:fit_gops) instead of the sequential per-GOP loop —
+    the embarrassingly-parallel axis of the UVG protocol as a product
+    path.  Each GOP then runs its own encode/decode/eval round trip."""
+    import json
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from gsvc_tpu.framecube import FrameCubeDataset
+    from gsvc_tpu.models.gaussians import GaussianConfig
+    from gsvc_tpu.parallel.spmd import (fit_gops, make_mesh,
+                                        parse_mesh_spec)
+    from gsvc_tpu.render.pipeline import make_raster_settings
+    from gsvc_tpu.train.fit import compute_window_cap
+    from gsvc_tpu.utils.logging import dump_config, setup_logging
+
+    log = setup_logging(cfg.pipeline.model_path)
+    dump_config(cfg, cfg.pipeline.model_path)
+
+    src = pathlib.Path(cfg.pipeline.source_path)
+    frames = sorted(p for p in src.iterdir() if p.is_file())
+    flow_dir = pathlib.Path(cfg.pipeline.optical_path) \
+        if cfg.pipeline.optical_path else None
+    flows = sorted(p for p in flow_dir.iterdir()) if flow_dir else []
+    g = args.gop_size
+    segments = [(i, frames[i:i + g]) for i in range(0, len(frames), g)]
+
+    mesh_spec = args.mesh or cfg.pipeline.mesh_shape
+    if mesh_spec:
+        axes = parse_mesh_spec(mesh_spec)
+        mesh = make_mesh(axes["dp"], axes["sp"])
+    else:
+        mesh = make_mesh(len(segments), 1)
+    log.info("GOP fan-out: %d segments over mesh %s", len(segments),
+             dict(mesh.shape))
+
+    root = pathlib.Path(cfg.pipeline.model_path)
+    with tempfile.TemporaryDirectory() as td:
+        datasets = []
+        for start, seg in segments:
+            fdir = pathlib.Path(td) / f"frames_{start:05d}"
+            fdir.mkdir()
+            for p in seg:
+                os.symlink(p.resolve(), fdir / p.name)
+            odir = None
+            if flows:
+                odir = pathlib.Path(td) / f"flow_{start:05d}"
+                odir.mkdir()
+                for p in flows[start:start + len(seg) - 1]:
+                    os.symlink(p.resolve(), odir / p.name)
+            datasets.append(FrameCubeDataset(
+                str(fdir), str(odir) if odir else None,
+                prefetch=not cfg.pipeline.skip_prefetch))
+
+        states, reports = fit_gops(mesh, cfg, datasets,
+                                   iterations=args.iterations,
+                                   seed=args.seed, log_fn=log.info)
+
+        gcfg = GaussianConfig.from_model_config(cfg.model)
+        d0 = datasets[0]
+        settings = make_raster_settings(
+            gcfg, d0.height, d0.width, tile_h=cfg.pipeline.tile_h,
+            tile_w=cfg.pipeline.tile_w,
+            gaussian_cap=cfg.pipeline.visible_capacity or 1024,
+            chunk=cfg.pipeline.gaussian_chunk)
+        aggregate = []
+        for gi, ((start, _), st, ds) in enumerate(zip(segments, states,
+                                                      datasets)):
+            zs = np.array([(i - ds.num_frames / 2) / ds.scale
+                           for i in range(ds.num_frames)], np.float32)
+            window_cap = compute_window_cap(
+                np.asarray(st.anchors.anchor[:, 2]), int(st.n_active), zs,
+                gcfg.threshold)
+            out_dir = root / f"gop_{start:05d}"
+            out_dir.mkdir(parents=True, exist_ok=True)
+            res = {"n_anchors": int(st.n_active),
+                   "fit_psnr": (reports[gi][-1]["psnr"] if reports[gi]
+                                else None)}
+            if not args.skip_codec:
+                res.update(_codec_eval(
+                    st, gcfg, settings, window_cap,
+                    int(st.anchors.anchor.shape[0]), zs, ds, cfg,
+                    str(out_dir), args.lpips_weights, log.info))
+            (out_dir / "results.json").write_text(json.dumps(res,
+                                                             indent=2))
+            aggregate.append(res)
+
+    summary = {
+        "gops": len(segments),
+        "mesh": dict(mesh.shape),
+        "mean_psnr": float(np.mean([r.get("decoded_psnr") or
+                                    r.get("fit_psnr") or 0
+                                    for r in aggregate])),
+        "mean_bpp": float(np.mean([r.get("bpp") or 0 for r in aggregate])),
+        "per_gop": aggregate,
+    }
+    (root / "results.json").write_text(json.dumps(summary, indent=2))
+    log.info("results: %s", json.dumps(summary))
+    return summary
+
+
 def main(argv=None):
     parser = base_parser(__doc__)
     parser.add_argument("--checkpoint", type=str, default=None,
@@ -92,6 +254,11 @@ def main(argv=None):
                         help="split long videos into GOPs of this many "
                              "frames, fitting one model per GOP (the "
                              "reference fits UVG per segment)")
+    parser.add_argument("--gop_parallel", action="store_true",
+                        help="with --gop_size: fit all GOPs concurrently, "
+                             "fanned over the mesh dp axis in one jitted "
+                             "step (parallel/spmd.py:fit_gops) instead of "
+                             "sequentially")
     parser.add_argument("--mesh", type=str, default=None,
                         help="SPMD mesh spec, e.g. 'dp=2,sp=4' (overrides "
                              "pipeline.mesh_shape); anchors are z-slab "
@@ -101,16 +268,14 @@ def main(argv=None):
     cfg = resolve_config(args)
 
     if args.gop_size:
+        if args.gop_parallel:
+            return _train_gop_parallel(args, cfg)
         return _train_segmented(args, cfg)
 
-    from gsvc_tpu.codec.bitstream import conduct_decoding, conduct_encoding
     from gsvc_tpu.codec.estimate import estimate_final_bits
     from gsvc_tpu.framecube import FrameCubeDataset
-    from gsvc_tpu.models.gaussians import GenerateMode
-    from gsvc_tpu.report import bits_per_pixel, evaluate_video
     from gsvc_tpu.train.fit import GOPFitter
-    from gsvc_tpu.utils.checkpoint import (load_checkpoint, save_checkpoint,
-                                           save_streams)
+    from gsvc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
     from gsvc_tpu.utils.logging import MetricsWriter, dump_config, setup_logging
 
     log = setup_logging(cfg.pipeline.model_path)
@@ -170,49 +335,10 @@ def main(argv=None):
     if not args.skip_codec:
         est = estimate_final_bits(fitter.state, fitter.gcfg)
         log.info("estimated bits: total=%.3f MB", est.total / 8 / 2 ** 20)
-
-        streams, meta, bit_info, enc_state, enc_time = conduct_encoding(
-            fitter.state, fitter.gcfg,
-            model_config=model_config_dict(cfg),
-            video_info={"width": dataset.width, "height": dataset.height,
-                        "num_frames": dataset.num_frames})
-        bs_dir = pathlib.Path(cfg.pipeline.model_path) / "bitstreams"
-        total_bytes = save_streams(str(bs_dir), streams)
-        bpp = bits_per_pixel(total_bytes * 8, dataset.width, dataset.height,
-                             dataset.num_frames)
-        log.info("encoded %.3f MB (%.5f bpp) in %.1fs",
-                 total_bytes / 2 ** 20, bpp, enc_time)
-
-        dec_state, _, dec_time = conduct_decoding(
-            streams, fitter.gcfg, enc_state, capacity=fitter.capacity)
-        log.info("decoded in %.1fs", dec_time)
-
-        lpips_w = None
-        if args.lpips_weights:
-            from gsvc_tpu.metrics.lpips import load_lpips_weights
-
-            lpips_w = load_lpips_weights(args.lpips_weights)
-        ev = evaluate_video(
-            dec_state, fitter.gcfg, fitter.settings, fitter.window_cap,
-            fitter.frame_zs, dataset.x_min, dataset.y_min, dataset.scale,
-            gt_images=dataset.images, mode=GenerateMode.DECODED,
-            decoded=True, lpips_weights=lpips_w)
-        log.info("decoded eval: psnr=%.2f ssim=%.4f lpips=%s fps=%.1f",
-                 ev.get("psnr", 0), ev.get("ssim", 0),
-                 ev.get("lpips", "n/a"), ev["fps"])
-        results.update(bpp=bpp, encode_seconds=enc_time,
-                       decode_seconds=dec_time,
-                       decoded_psnr=ev.get("psnr"),
-                       decoded_ssim=ev.get("ssim"),
-                       decoded_ms_ssim=ev.get("ms_ssim"),
-                       decoded_lpips=ev.get("lpips"),
-                       decode_fps=ev["fps"],
-                       size_mb=total_bytes / 2 ** 20)
-        if args.lpips_weights == "proxy":
-            # deterministic random-feature proxy, NOT pretrained-VGG
-            # LPIPS — absolute values are not comparable to published
-            # curves (metrics/lpips.py:proxy_lpips_weights)
-            results["lpips_kind"] = "proxy-vgg16w4"
+        results.update(_codec_eval(
+            fitter.state, fitter.gcfg, fitter.settings, fitter.window_cap,
+            fitter.capacity, fitter.frame_zs, dataset, cfg,
+            cfg.pipeline.model_path, args.lpips_weights, log.info))
 
     out = pathlib.Path(cfg.pipeline.model_path) / "results.json"
     out.write_text(json.dumps(results, indent=2))

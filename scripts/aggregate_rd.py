@@ -1,0 +1,73 @@
+"""Aggregate an RD sweep (artifacts/rd_*/lmbda_*/results.json) into one
+rd_curve.json with the published reference curve alongside.
+
+Published points are plot-read from the reference's assets/main.png
+(BASELINE.md; UVG dataset — our sweep is on the synthetic 600-frame
+1080p GOP, so curves are compared by shape/range, not point-for-point).
+
+Usage: python scripts/aggregate_rd.py artifacts/rd_r3
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import sys
+
+PUBLISHED_UVG = {
+    "psnr_bpp": [(0.015, 30.5), (0.022, 31.8), (0.035, 32.6),
+                 (0.043, 32.9)],
+    "ms_ssim_bpp": [(0.016, 0.914), (0.023, 0.931), (0.034, 0.941),
+                    (0.043, 0.943)],
+    "source": "/root/reference/assets/main.png (plot-read, +-0.1 dB)",
+}
+
+
+def main(root: str) -> dict:
+    rootp = pathlib.Path(root)
+    points = []
+    for d in sorted(rootp.glob("lmbda_*")):
+        res = d / "results.json"
+        if not res.exists():
+            print(f"[skip] {d.name}: no results.json (run incomplete)")
+            continue
+        r = json.loads(res.read_text())
+        points.append({
+            "lmbda": float(d.name.split("_", 1)[1]),
+            "bpp": r.get("bpp"),
+            "psnr": r.get("decoded_psnr"),
+            "ms_ssim": r.get("decoded_ms_ssim"),
+            "lpips": r.get("decoded_lpips"),
+            "lpips_kind": r.get("lpips_kind"),
+            "n_anchors": r.get("n_anchors"),
+            "encode_seconds": r.get("encode_seconds"),
+            "decode_seconds": r.get("decode_seconds"),
+            "decode_fps": r.get("decode_fps"),
+            "size_mb": r.get("size_mb"),
+            "iterations": r.get("iterations"),
+        })
+    points.sort(key=lambda p: p["lmbda"])
+
+    # monotonicity along the sweep: higher lambda => lower rate, lower
+    # (or equal) distortion quality
+    mono_rate = all(points[i]["bpp"] >= points[i + 1]["bpp"]
+                    for i in range(len(points) - 1)
+                    if points[i]["bpp"] and points[i + 1]["bpp"])
+    by_bpp = sorted((p for p in points if p["bpp"] and p["psnr"]),
+                    key=lambda p: p["bpp"])
+    mono_psnr = all(by_bpp[i]["psnr"] <= by_bpp[i + 1]["psnr"]
+                    for i in range(len(by_bpp) - 1))
+
+    out = {
+        "points": points,
+        "monotone_rate_in_lambda": mono_rate,
+        "monotone_psnr_in_bpp": mono_psnr,
+        "published_reference": PUBLISHED_UVG,
+    }
+    (rootp / "rd_curve.json").write_text(json.dumps(out, indent=2))
+    print(json.dumps(out, indent=2))
+    return out
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "artifacts/rd_r3")

@@ -126,6 +126,26 @@ def test_train_cli_spmd_mesh(video_dir, cfg_file, tmp_path_factory):
     assert np.isfinite(results["decoded_psnr"])
 
 
+def test_train_cli_gop_parallel(video_dir, cfg_file, tmp_path_factory):
+    """--gop_size 2 --gop_parallel: both GOPs fitted concurrently over the
+    mesh dp axis in one jitted step (fit_gops), then each runs its own
+    encode/decode/eval round trip."""
+    from gsvc_tpu.cli.train import main as train_main
+
+    root, frames_dir, flow_dir = video_dir
+    out = tmp_path_factory.mktemp("out_gopfan")
+    results = train_main([
+        "--source_path", str(frames_dir), "--optical_path", str(flow_dir),
+        "--model_path", str(out), "--config_path", cfg_file,
+        "--gop_size", "2", "--gop_parallel"])
+    assert results["gops"] == 2
+    for r in results["per_gop"]:
+        assert r["bpp"] > 0
+        assert np.isfinite(r["decoded_psnr"])
+    assert (out / "gop_00000" / "bitstreams" / "meta.bin").exists()
+    assert (out / "gop_00002" / "bitstreams" / "meta.bin").exists()
+
+
 def test_stream_cli(trained, video_dir, cfg_file, tmp_path_factory):
     from gsvc_tpu.cli.stream import main as stream_main
 
