@@ -243,6 +243,8 @@ def _encode_attribute_batches(state, cfg, anchors_ordered, feat, scaling,
         bit_info.bit_feat += f_bits
         bit_info.bit_scaling += s_bits
         bit_info.bit_offsets += o_bits
+        if s % 16 == 0 and len(batches) > 20:
+            print(f"[encode] batch {s + 1}/{len(batches)}", flush=True)
     return batch_ranges
 
 

@@ -71,40 +71,49 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
         from gsvc_tpu.metrics.lpips import lpips as _lpips
 
         lpips_fn = jax.jit(lambda a, b: _lpips(lpips_weights, a, b))
-    t0 = time.perf_counter()
-    images = []
-    for fz in frame_zs:
-        img = render(state, jnp.asarray(float(fz)))
-        images.append(img)
-    jax.block_until_ready(images[-1])
-    render_time = time.perf_counter() - t0
-    fps = len(frame_zs) / render_time
-
-    can_msssim = compute_msssim and images[0].shape[1] >= 176 \
-        and images[0].shape[2] >= 176
-    if gt_images is not None:
-        for i, img in enumerate(images):
-            gt = jnp.asarray(gt_images[i])
-            if gt.ndim == 3 and gt.shape[-1] == 3:   # HWC input -> CHW
-                gt = jnp.transpose(gt, (2, 0, 1))
-            psnrs.append(float(psnr(img, gt)))
-            ssims.append(float(ssim(img, gt)))
-            if can_msssim:
-                msssims.append(float(ms_ssim(img, gt)))
-            if lpips_fn is not None:
-                lpipss.append(float(lpips_fn(
-                    jnp.transpose(img, (1, 2, 0)),
-                    jnp.transpose(gt, (1, 2, 0)))))
-
+    # Render + score in CHUNKS: keeping every decoded frame on device
+    # would need ~15 GB HBM at 600x1080p (600 x 25 MB) — over the v5e
+    # budget.  Renders within a chunk stay async (fps is the summed
+    # dispatch+sync time of the render phases only); metrics and host
+    # copies run between chunks.
+    chunk = 16
+    n = len(frame_zs)
+    can_msssim = compute_msssim and img.shape[1] >= 176 \
+        and img.shape[2] >= 176
+    dump_out = None
     if dump_dir is not None:
         from PIL import Image
 
-        out = pathlib.Path(dump_dir)
-        out.mkdir(parents=True, exist_ok=True)
-        for i, img in enumerate(images):
-            arr = np.clip(np.asarray(img).transpose(1, 2, 0) * 255,
-                          0, 255).astype(np.uint8)
-            Image.fromarray(arr).save(out / f"frame_{i:05d}.png")
+        dump_out = pathlib.Path(dump_dir)
+        dump_out.mkdir(parents=True, exist_ok=True)
+    render_time = 0.0
+    for c0 in range(0, n, chunk):
+        zs = frame_zs[c0:c0 + chunk]
+        t0 = time.perf_counter()
+        imgs = [render(state, jnp.asarray(float(fz))) for fz in zs]
+        jax.block_until_ready(imgs[-1])
+        render_time += time.perf_counter() - t0
+        for i, im in enumerate(imgs):
+            gi = c0 + i
+            if gt_images is not None:
+                gt = jnp.asarray(gt_images[gi])
+                if gt.ndim == 3 and gt.shape[-1] == 3:  # HWC -> CHW
+                    gt = jnp.transpose(gt, (2, 0, 1))
+                psnrs.append(float(psnr(im, gt)))
+                ssims.append(float(ssim(im, gt)))
+                if can_msssim:
+                    msssims.append(float(ms_ssim(im, gt)))
+                if lpips_fn is not None:
+                    lpipss.append(float(lpips_fn(
+                        jnp.transpose(im, (1, 2, 0)),
+                        jnp.transpose(gt, (1, 2, 0)))))
+            if dump_out is not None:
+                arr = np.clip(np.asarray(im).transpose(1, 2, 0) * 255,
+                              0, 255).astype(np.uint8)
+                Image.fromarray(arr).save(dump_out / f"frame_{gi:05d}.png")
+        if c0 % (8 * chunk) == 0 and n > 64:
+            print(f"[eval] {min(c0 + chunk, n)}/{n} frames", flush=True)
+    fps = n / render_time
 
     result = {"fps": fps, "num_frames": len(frame_zs),
               "render_seconds": render_time}

@@ -42,6 +42,11 @@ def save_checkpoint(path: str, fitter, iteration: int) -> None:
         "controller_iteration": fitter.controller.current_iteration,
         "np_rng": fitter.rng.bit_generator.state,
         "jax_key": np.asarray(fitter.key),
+        # runtime-adapted raster capacities (overflow autogrow / underfill
+        # shrink) — without these a resume restarts at the config default
+        # and re-pays the grow re-jits
+        "gaussian_cap": fitter.settings.gaussian_cap,
+        "tiles_per_gaussian": fitter.settings.tiles_per_gaussian,
     }
     with open(path, "wb") as f:
         pickle.dump(payload, f)
@@ -81,6 +86,12 @@ def load_checkpoint(path: str, fitter) -> int:
     fitter.controller.current_iteration = p["controller_iteration"]
     fitter.rng.bit_generator.state = p["np_rng"]
     fitter.key = jnp.asarray(p["jax_key"])
+    if "gaussian_cap" in p:  # absent in pre-round-3 checkpoints
+        import dataclasses
+
+        fitter.settings = dataclasses.replace(
+            fitter.settings, gaussian_cap=p["gaussian_cap"],
+            tiles_per_gaussian=p["tiles_per_gaussian"])
     fitter._build_step()
     return p["iteration"]
 

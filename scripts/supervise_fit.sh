@@ -1,0 +1,63 @@
+#!/bin/bash
+# Launch one flagship fit and babysit it: if the output log goes stale
+# for STALE seconds (the axon tunnel occasionally drops an RPC response,
+# leaving the client blocked forever in a futex wait), kill the fit and
+# resume it from the newest checkpoint in the artifact dir.
+#
+# Usage: supervise_fit.sh <model_dir> <lmbda>
+set -u
+DIR=$1; LM=$2
+STALE=${STALE:-1500}
+SEQLOG=/tmp/rd_seq.log
+
+launch() {
+  local resume=()
+  local newest
+  newest=$(ls -t "$DIR"/chkpnt*.pkl 2>/dev/null | head -1)
+  if [ -n "${newest:-}" ]; then
+    resume=(--checkpoint "$newest")
+    echo "[supervise] $(date -u +%H:%M:%S) $DIR resume from $newest" \
+      >> "$SEQLOG"
+  fi
+  python -m gsvc_tpu.cli.train \
+    --source_path /root/data/gop600/frames \
+    --optical_path /root/data/gop600/flow \
+    --model_path "$DIR" \
+    --config_path cfgs/cfg_20240919_8k.yaml \
+    --lmbda "$LM" \
+    --checkpoint_iterations 1000 2000 2500 3000 3500 4000 4500 5000 \
+                            5500 6000 6500 7000 7500 \
+    --lpips_weights proxy --seed 0 "${resume[@]}" \
+    >> "$DIR/output.log" 2>&1 &
+  FIT_PID=$!
+  echo "$FIT_PID" > /tmp/fit_current.pid
+}
+
+mkdir -p "$DIR"
+touch "$DIR/output.log"
+launch
+while true; do
+  sleep 60
+  if ! kill -0 "$FIT_PID" 2>/dev/null; then
+    wait "$FIT_PID" 2>/dev/null; rc=$?
+    if [ -f "$DIR/results.json" ]; then
+      echo "[supervise] $(date -u +%H:%M:%S) $DIR complete rc=$rc" \
+        >> "$SEQLOG"
+      exit 0
+    fi
+    echo "[supervise] $(date -u +%H:%M:%S) $DIR died rc=$rc — resuming" \
+      >> "$SEQLOG"
+    sleep 20
+    launch
+    continue
+  fi
+  age=$(( $(date +%s) - $(stat -c %Y "$DIR/output.log") ))
+  if [ "$age" -gt "$STALE" ]; then
+    echo "[supervise] $(date -u +%H:%M:%S) $DIR log stale ${age}s — " \
+         "killing pid $FIT_PID and resuming from newest checkpoint" \
+      >> "$SEQLOG"
+    kill -9 "$FIT_PID" 2>/dev/null
+    sleep 10
+    launch
+  fi
+done
