@@ -127,12 +127,16 @@ def main():
                          np.arange(args.height, dtype=np.float32))
 
     for t in range(args.frames):
+        png = fdir / f"{t:05d}.png"
+        pkl = odir / f"{t:05d}.pkl"
+        if png.exists() and (t == args.frames - 1 or pkl.exists()):
+            continue  # resume after an interrupted generation
         img, flow = render_frame(t, args.width, args.height, blobs, pan,
                                  (xx, yy))
         Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
-            fdir / f"{t:05d}.png")
+            fdir / f"{t:05d}.png", compress_level=1)
         if t < args.frames - 1:
-            with open(odir / f"{t:05d}.pkl", "wb") as f:
+            with open(pkl, "wb") as f:
                 pickle.dump(flow.astype(np.float16), f)
         if t % 50 == 0:
             print(f"frame {t}/{args.frames}", flush=True)
