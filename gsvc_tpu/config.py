@@ -46,6 +46,9 @@ class ModelConfig:
     resolutions_list_2D: Tuple[int, ...] = (130, 258, 514, 1026)
     ste_binary: bool = True         # binarize hash embeddings with STE
     use_2D: bool = True             # Mix3d2d: one 3D grid + xy/xz/yz 2D grids
+    # hash-context encode backend: "auto" (lane-gather Pallas kernel on
+    # TPU, XLA gathers on the CPU test mesh), "xla", or "lanegather"
+    hash_backend: str = "auto"
 
 
 @dataclass

@@ -81,6 +81,7 @@ class GaussianConfig:
     threshold: float
     kernel_size: float
     ste_binary: bool = True
+    hash_backend: str = "auto"
 
     @staticmethod
     def from_model_config(mc: ModelConfig) -> "GaussianConfig":
@@ -100,6 +101,7 @@ class GaussianConfig:
             threshold=mc.threshold,
             kernel_size=mc.kernel_size,
             ste_binary=mc.ste_binary,
+            hash_backend=mc.hash_backend,
         )
 
     @property
@@ -338,6 +340,14 @@ def calc_interp_feat(state: ModelState, cfg: GaussianConfig, x,
     binarize = None
     if cfg.ste_binary and not decoded:
         binarize = ste_binary
+    backend = cfg.hash_backend
+    if backend == "auto":
+        backend = ("xla" if jax.devices()[0].platform == "cpu"
+                   else "lanegather")
+    if backend == "lanegather":
+        from gsvc_tpu.ops.pallas_hashgrid import mix_grid_encode_lanegather
+        return mix_grid_encode_lanegather(state.nets.hash_table, xn,
+                                          cfg.grid, binarize=binarize)
     return mix_grid_encode(state.nets.hash_table, xn, cfg.grid,
                            binarize=binarize)
 

@@ -88,12 +88,23 @@ class LaneGatherSpec:
         return self.n_inst // self.lpb
 
 
+def _pad_seg(seg: int, F: int, C: int) -> int:
+    """Pad the segment count so every table block spans a multiple of 8
+    sublane rows (Mosaic block divisibility); padded rows are zeros and
+    never selected (all real seg indices stay below them)."""
+    lpb = RB // C
+    while (F * seg * lpb) % 8:
+        seg += 1
+    return seg
+
+
 def spec_from_hashgrid(hs: HashGridSpec,
                        dims: Sequence[Tuple[int, ...]] | None = None
                        ) -> LaneGatherSpec:
     if dims is None:
         dims = [tuple(range(hs.num_dim))] * hs.n_levels
     seg = max(-(-s // LANES) for s in hs.level_sizes)
+    seg = _pad_seg(seg, hs.n_features, 1 << hs.num_dim)
     return LaneGatherSpec(
         n_features=hs.n_features, seg=seg,
         n_corners=1 << hs.num_dim, d_local=hs.num_dim,
@@ -105,6 +116,7 @@ def spec_2d_triple(hs: HashGridSpec) -> LaneGatherSpec:
     """The xy | xz | yz instance list of the Mix3d2d encoder, one call."""
     assert hs.num_dim == 2
     seg = max(-(-s // LANES) for s in hs.level_sizes)
+    seg = _pad_seg(seg, hs.n_features, 4)
     planes = ((0, 1), (0, 2), (1, 2))
     return LaneGatherSpec(
         n_features=hs.n_features, seg=seg, n_corners=4, d_local=2,
