@@ -66,9 +66,13 @@ class LaneGatherSpec:
     seg: int                            # segments per instance table
     n_corners: int                      # C (4 for 2D, 8 for 3D)
     d_local: int                        # dims per instance (2 or 3)
-    resolutions: Tuple[int, ...]        # per instance
+    resolutions: Tuple[int, ...]        # per instance (incl. pad dummies)
     sizes: Tuple[int, ...]              # true table rows per instance
     dims: Tuple[Tuple[int, ...], ...]   # which x-dims feed each instance
+    n_real: int                         # real instances (<= n_inst);
+                                        # trailing pad dummies alias the
+                                        # last real table and their output
+                                        # columns are sliced away
 
     @property
     def n_inst(self) -> int:
@@ -98,18 +102,37 @@ def _pad_seg(seg: int, F: int, C: int) -> int:
     return seg
 
 
+def _pad_instances(resolutions, sizes, dims, C):
+    """Pad the instance list to a multiple of lpb = RB // C by repeating
+    the last instance.  The dummies alias the last real table (their
+    offsets are duplicated by the caller); their output columns are
+    sliced away and their incoming gradients are zero, so the aliased
+    rows receive no spurious gradient."""
+    lpb = RB // C
+    n_real = len(resolutions)
+    resolutions, sizes, dims = list(resolutions), list(sizes), list(dims)
+    while len(resolutions) % lpb:
+        resolutions.append(resolutions[-1])
+        sizes.append(sizes[-1])
+        dims.append(dims[-1])
+    return (tuple(resolutions), tuple(sizes),
+            tuple(tuple(d) for d in dims), n_real)
+
+
 def spec_from_hashgrid(hs: HashGridSpec,
                        dims: Sequence[Tuple[int, ...]] | None = None
                        ) -> LaneGatherSpec:
     if dims is None:
         dims = [tuple(range(hs.num_dim))] * hs.n_levels
+    C = 1 << hs.num_dim
     seg = max(-(-s // LANES) for s in hs.level_sizes)
-    seg = _pad_seg(seg, hs.n_features, 1 << hs.num_dim)
+    seg = _pad_seg(seg, hs.n_features, C)
+    res, sizes, dims, n_real = _pad_instances(
+        hs.resolutions, hs.level_sizes, dims, C)
     return LaneGatherSpec(
         n_features=hs.n_features, seg=seg,
-        n_corners=1 << hs.num_dim, d_local=hs.num_dim,
-        resolutions=hs.resolutions, sizes=hs.level_sizes,
-        dims=tuple(tuple(d) for d in dims))
+        n_corners=C, d_local=hs.num_dim,
+        resolutions=res, sizes=sizes, dims=dims, n_real=n_real)
 
 
 def spec_2d_triple(hs: HashGridSpec) -> LaneGatherSpec:
@@ -118,10 +141,12 @@ def spec_2d_triple(hs: HashGridSpec) -> LaneGatherSpec:
     seg = max(-(-s // LANES) for s in hs.level_sizes)
     seg = _pad_seg(seg, hs.n_features, 4)
     planes = ((0, 1), (0, 2), (1, 2))
+    res, sizes, dims, n_real = _pad_instances(
+        hs.resolutions * 3, hs.level_sizes * 3,
+        [p for p in planes for _ in hs.resolutions], 4)
     return LaneGatherSpec(
         n_features=hs.n_features, seg=seg, n_corners=4, d_local=2,
-        resolutions=hs.resolutions * 3, sizes=hs.level_sizes * 3,
-        dims=tuple(p for p in planes for _ in hs.resolutions))
+        resolutions=res, sizes=sizes, dims=dims, n_real=n_real)
 
 
 # ---------------------------------------------------------------------------
@@ -392,10 +417,11 @@ def _bwd_call(spec: LaneGatherSpec, seg, lo, w, dws, g, packed,
 
 
 def _out_to_features(o, spec: LaneGatherSpec, n: int):
-    """Kernel output [n_inst*FP, NP] -> [N, n_inst*F]."""
+    """Kernel output [n_inst*FP, NP] -> [N, n_real*F] (pad dummies
+    dropped)."""
     F = spec.n_features
-    o = o.reshape(spec.n_inst, FP, -1)[:, :F, :n]            # [I, F, N]
-    return jnp.transpose(o, (2, 0, 1)).reshape(n, spec.n_inst * F)
+    o = o.reshape(spec.n_inst, FP, -1)[:spec.n_real, :F, :n]  # [I, F, N]
+    return jnp.transpose(o, (2, 0, 1)).reshape(n, spec.n_real * F)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -421,8 +447,8 @@ def _lg_bwd(spec: LaneGatherSpec, res, gout):
     seg, lo, w, dws = _prep(x, spec, np_pad)
     F = spec.n_features
     g = jnp.zeros((spec.n_inst, FP, np_pad), jnp.float32)
-    g = g.at[:, :F, :n].set(
-        jnp.transpose(gout.reshape(n, spec.n_inst, F), (1, 2, 0)))
+    g = g.at[:spec.n_real, :F, :n].set(
+        jnp.transpose(gout.reshape(n, spec.n_real, F), (1, 2, 0)))
     g = g.reshape(spec.n_inst * FP, np_pad)
     gt, gxp = _bwd_call(spec, seg, lo, w, dws, g, packed, np_pad)
     # gxp rows: block lb holds lpb instances x d_local dims
@@ -430,7 +456,7 @@ def _lg_bwd(spec: LaneGatherSpec, res, gout):
     gxp = gxp.reshape(spec.n_blocks, RB, np_pad)[:, :LPB * D, :n]
     gxp = gxp.reshape(spec.n_inst, D, n)
     gx = jnp.zeros((n, x.shape[1]), x.dtype)
-    for i in range(spec.n_inst):
+    for i in range(spec.n_real):
         for d in range(D):
             gx = gx.at[:, spec.dims[i][d]].add(gxp[i, d])
     return gt, gx
@@ -451,6 +477,9 @@ def _mix_specs(mix: MixGridSpec):
     r3, r2 = mix.grid_3d.total_rows, mix.grid_2d.total_rows
     off2 = [r3 + g * r2 + o for g in range(3)
             for o in mix.grid_2d.level_offsets[:-1]]
+    # pad dummies alias the last real table (zero incoming grads)
+    off3 += [off3[-1]] * (s3.n_inst - len(off3))
+    off2 += [off2[-1]] * (s2.n_inst - len(off2))
     return s3, s2, tuple(off3), tuple(off2)
 
 
