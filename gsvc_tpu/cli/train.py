@@ -186,7 +186,8 @@ def _train_gop_parallel(args, cfg):
                     os.symlink(p.resolve(), odir / p.name)
             datasets.append(FrameCubeDataset(
                 str(fdir), str(odir) if odir else None,
-                prefetch=not cfg.pipeline.skip_prefetch))
+                prefetch=not cfg.pipeline.skip_prefetch,
+                cache=False))  # segment dirs are throwaway symlink trees
 
         states, reports = fit_gops(mesh, cfg, datasets,
                                    iterations=args.iterations,

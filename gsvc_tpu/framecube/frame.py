@@ -61,12 +61,48 @@ def frame_z(image_id: int, num_frames: int, scale: float) -> float:
     return (image_id - num_frames / 2) / scale
 
 
+class _LazyF32Frames:
+    """Per-item float32 view over a compact (uint8/float16) frame stack.
+
+    Keeps the decoded GOP in RAM/disk at native precision (a 600-frame
+    1080p GOP is 3.7 GB as uint8 vs 15 GB as float32) and converts one
+    frame at a time on access — every consumer of ``dataset.images`` /
+    ``dataset.flows`` indexes per frame (report.evaluate_video,
+    parallel/spmd, train/fit)."""
+
+    def __init__(self, raw: np.ndarray, divisor: float = 1.0):
+        self._raw = raw
+        self._div = divisor
+
+    @property
+    def shape(self):
+        return self._raw.shape
+
+    def __len__(self) -> int:
+        return len(self._raw)
+
+    def __getitem__(self, idx):
+        out = np.asarray(self._raw[idx], np.float32)
+        if self._div != 1.0:
+            out = out / self._div   # divide (not mul-by-inverse): bit-
+        return out                  # identical to the uncached loader
+
+
 class FrameCubeDataset:
     """Loads all frames (and optical-flow pickles) of one GOP into host RAM.
 
     Reference: frame_cube/frame.py:65-277.  Frames are PNG/JPG files sorted
     by name; optical flow is one pickle per frame pair, an array of shape
     [2, H, W] holding backward flow (u, v) in pixels.
+
+    With ``cache=True`` (default) the decoded arrays are persisted under
+    ``<main_dir>/.cube_cache/`` (uint8 frames + native-precision flows,
+    ``np.memmap``-backed) so that relaunches skip the PNG decode — ~20
+    minutes for a 600-frame 1080p GOP on this 1-core host, paid once.
+    ``images``/``flows`` then become lazy per-frame float32 views; the
+    raw stacks are exposed as ``images_u8`` / ``flows_raw`` for consumers
+    that want the compact dtype directly (train/fit.py uploads uint8 to
+    HBM).
     """
 
     def __init__(
@@ -76,7 +112,10 @@ class FrameCubeDataset:
         images: Optional[np.ndarray] = None,
         flows: Optional[np.ndarray] = None,
         prefetch: bool = True,
+        cache: bool = True,
     ):
+        self.images_u8: Optional[np.ndarray] = None
+        self.flows_raw: Optional[np.ndarray] = None
         if images is not None:
             # in-memory construction (tests, synthetic data)
             self.images = np.asarray(images, dtype=np.float32)  # [T, H, W, 3]
@@ -97,11 +136,16 @@ class FrameCubeDataset:
             self.images = None
             self.flows = None
             if prefetch:
-                self.images = np.stack(
-                    [self._load_image(p) for p in self._paths], axis=0)
-                if self._flow_paths:
-                    self.flows = np.stack(
-                        [self._load_flow(p) for p in self._flow_paths], axis=0)
+                u8, flow_raw = (self._load_cached(main_dir) if cache
+                                else (None, None))
+                if u8 is None:
+                    u8, flow_raw = self._decode_all(
+                        main_dir if cache else None)
+                self.images_u8 = u8
+                self.images = _LazyF32Frames(u8, 255.0)
+                if flow_raw is not None:
+                    self.flows_raw = flow_raw
+                    self.flows = _LazyF32Frames(flow_raw)
 
         self.height = h
         self.width = w
@@ -109,6 +153,94 @@ class FrameCubeDataset:
         self.scale, self.x_min, self.y_min, self.z_min = frame_geometry(w, h, t)
 
     # -- IO -----------------------------------------------------------------
+    _CACHE_VERSION = 1
+
+    def _manifest(self) -> dict:
+        return {
+            "version": self._CACHE_VERSION,
+            "frames": [[p.name, p.stat().st_size] for p in self._paths],
+            "flows": [[p.name, p.stat().st_size] for p in self._flow_paths],
+        }
+
+    def _load_cached(self, main_dir: pathlib.Path):
+        """Return (img_u8, flow_raw) mmaps if a valid cache exists."""
+        import json
+
+        cdir = main_dir / ".cube_cache"
+        man = cdir / "manifest.json"
+        if not man.exists():
+            return None, None
+        try:
+            saved = json.loads(man.read_text())
+        except (OSError, ValueError):
+            return None, None
+        if saved != self._manifest():
+            return None, None
+        try:
+            u8 = np.load(cdir / "img_u8.npy", mmap_mode="r")
+            flow = (np.load(cdir / "flow.npy", mmap_mode="r")
+                    if self._flow_paths else None)
+        except (OSError, ValueError):
+            return None, None
+        return u8, flow
+
+    def _decode_all(self, cache_root: Optional[pathlib.Path]):
+        """Decode every frame (uint8) and flow (native precision); when
+        ``cache_root`` is given, persist them under ``.cube_cache/``
+        (tmp-file + rename + manifest-last, so an interrupted build never
+        looks valid)."""
+        import json
+
+        from PIL import Image
+        from numpy.lib.format import open_memmap
+
+        cdir = None
+        if cache_root is not None:
+            cdir = cache_root / ".cube_cache"
+            cdir.mkdir(exist_ok=True)
+
+        with Image.open(self._paths[0]) as im0:
+            w, h = im0.size
+        t = len(self._paths)
+        if cdir is not None:
+            u8 = open_memmap(cdir / "img_u8.npy.tmp", mode="w+",
+                             dtype=np.uint8, shape=(t, h, w, 3))
+        else:
+            u8 = np.empty((t, h, w, 3), np.uint8)
+        for i, p in enumerate(self._paths):
+            u8[i] = np.asarray(Image.open(p).convert("RGB"), np.uint8)
+
+        flow = None
+        if self._flow_paths:
+            f0 = self._load_flow_raw(self._flow_paths[0])
+            fdtype = np.float16 if f0.dtype == np.float16 else np.float32
+            fshape = (len(self._flow_paths),) + f0.shape
+            if cdir is not None:
+                flow = open_memmap(cdir / "flow.npy.tmp", mode="w+",
+                                   dtype=fdtype, shape=fshape)
+            else:
+                flow = np.empty(fshape, fdtype)
+            flow[0] = f0
+            for i, p in enumerate(self._flow_paths[1:], start=1):
+                flow[i] = self._load_flow_raw(p)
+
+        if cdir is not None:
+            u8.flush()
+            (cdir / "img_u8.npy.tmp").rename(cdir / "img_u8.npy")
+            if flow is not None:
+                flow.flush()
+                (cdir / "flow.npy.tmp").rename(cdir / "flow.npy")
+            (cdir / "manifest.json").write_text(json.dumps(self._manifest()))
+            u8 = np.load(cdir / "img_u8.npy", mmap_mode="r")
+            if flow is not None:
+                flow = np.load(cdir / "flow.npy", mmap_mode="r")
+        return u8, flow
+
+    @staticmethod
+    def _load_flow_raw(path: pathlib.Path) -> np.ndarray:
+        with open(path, "rb") as f:
+            return np.asarray(pickle.load(f))
+
     @staticmethod
     def _load_image(path: pathlib.Path) -> np.ndarray:
         from PIL import Image

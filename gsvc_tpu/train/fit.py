@@ -148,13 +148,21 @@ class GOPFitter:
         t_n, h, w = (self.dataset.images.shape[0], dataset.height,
                      dataset.width)
         img8 = np.empty((t_n, 3, h, w), np.uint8)
+        u8_src = getattr(dataset, "images_u8", None)
         for i in range(t_n):
+            if u8_src is not None:          # disk-cache fast path (exact)
+                img8[i] = np.transpose(u8_src[i], (2, 0, 1))
+                continue
             f8 = np.clip(np.round(self.dataset.images[i] * 255.0), 0, 255
                          ).astype(np.uint8)
             img8[i] = np.transpose(f8, (2, 0, 1))
         self.images = jnp.asarray(img8)
-        if self.dataset.flows is not None:
-            self.flows = jnp.asarray(self.dataset.flows, jnp.bfloat16)
+        flows_raw = getattr(dataset, "flows_raw", None)
+        if flows_raw is not None:
+            self.flows = jnp.asarray(np.asarray(flows_raw), jnp.bfloat16)
+        elif self.dataset.flows is not None:
+            self.flows = jnp.asarray(np.asarray(self.dataset.flows),
+                                     jnp.bfloat16)
         else:
             self.flows = jnp.zeros(
                 (max(dataset.num_frames - 1, 1), 2, dataset.height,
