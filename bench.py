@@ -21,6 +21,16 @@ We use an estimated 6.0 it/s for the reference CUDA pipeline on A100
 (40k-iteration fit in ~1.85 h, typical for Scaffold-GS/HAC-class training
 at 1080p), so vs_baseline = measured_it_per_sec / 6.0.
 
+Round-3 measurement change: the product fit path now dispatches
+iterations in CHUNKS (``lax.scan`` over the step body,
+``pipeline.steps_per_dispatch``; trainer.make_train_multi_step), which
+amortizes the axon tunnel's ~100-300 ms per-dispatch RPC across ~100
+iterations.  The primary metric is therefore the chunked-path
+throughput (K=50 iterations in ONE dispatch, wall/K — the wall-clock an
+actual fit sees per iteration, single RPC included).  The round-1/2
+per-dispatch numbers are kept in ``extra.fp_per_dispatch_it_per_sec`` /
+``extra.entropy_per_dispatch_it_per_sec`` for comparability.
+
 Round-2 configuration deltas (all validated against fp32/jnp oracles in
 tests/): the pair-batched renderer (one generation per frame, mirror-
 derived flip binning, ONE 4-view Pallas launch), bfloat16 alpha math
@@ -56,7 +66,9 @@ def main():
     from gsvc_tpu.render.pipeline import make_raster_settings
     from gsvc_tpu.train.optim import adam_init
     from gsvc_tpu.train.schedules import build_schedules
-    from gsvc_tpu.train.trainer import init_stats, make_train_step
+    from gsvc_tpu.train.trainer import (
+        init_stats, make_train_multi_step, make_train_step,
+    )
 
     on_tpu = jax.default_backend() == "tpu"
 
@@ -123,13 +135,46 @@ def main():
     fp_its = timed_phase(GenerateMode.FULL_PRECISION)
     entropy_its = timed_phase(GenerateMode.ENTROPY)
 
+    # ---- chunked-dispatch throughput (the product fit path since r3) --
+    multi_step = make_train_multi_step(
+        cfg, settings, window_cap, opt, width=W, height=H, scale=scale,
+        x_min=x_min, y_min=y_min, rasterizer=rasterizer)
+    images = jnp.stack([gt1, gt2])          # tiny GOP stack, on device
+    flows = flow[None]
+    K = 50
+    lr_stack = {k: jnp.full((K,), v, jnp.float32) for k, v in lrs.items()}
+    z1s = jnp.asarray(np.linspace(0.0, 0.05, K), jnp.float32)
+    z2s = z1s + 1.0 / scale
+    f1s = jnp.zeros((K,), jnp.int32)
+    f2s = jnp.ones((K,), jnp.int32)
+    fls = jnp.zeros((K,), jnp.int32)
+
+    def timed_chunk(mode, base_state=None):
+        st, ad, sstats = jax.tree.map(
+            jnp.copy, (base_state if base_state is not None else state,
+                       adam, stats))
+        k_ = jax.random.PRNGKey(2)
+        st, ad, sstats, k_, m = multi_step(
+            st, ad, sstats, k_, lr_stack, z1s, z2s, f1s, f2s, fls,
+            images, flows, mode=mode, do_stats=False)
+        float(np.asarray(m.loss))           # sync past compile
+        t0 = time.perf_counter()
+        st, ad, sstats, k_, m = multi_step(
+            st, ad, sstats, k_, lr_stack, z1s, z2s, f1s, f2s, fls,
+            images, flows, mode=mode, do_stats=False)
+        float(np.asarray(m.loss))
+        return K / (time.perf_counter() - t0)
+
+    fp_chunked = timed_chunk(GenerateMode.FULL_PRECISION)
+    entropy_chunked = timed_chunk(GenerateMode.ENTROPY)
+
     # representative mid-fit content: scaling_reg shrinks gaussians over a
     # fit, so tiles are NOT cap-saturated and the per-tile early exit is
     # live.  Shrink the init scales 4x to emulate that regime (the primary
     # metric above stays the round-1 worst-case workload for continuity).
     state_rep = state._replace(anchors=state.anchors._replace(
         scaling=state.anchors.scaling - float(np.log(4.0))))
-    rep_its = timed_phase(GenerateMode.FULL_PRECISION, base_state=state_rep)
+    rep_its = timed_chunk(GenerateMode.FULL_PRECISION, base_state=state_rep)
 
     # decode fps: full-frame reconstruction with the inference kernel
     from gsvc_tpu.render.batched import render_frame_views
@@ -191,12 +236,14 @@ def main():
 
     print(json.dumps({
         "metric": "train_iters_per_sec_1080p",
-        "value": round(fp_its, 3),
+        "value": round(fp_chunked, 3),
         "unit": "iter/s",
-        "vs_baseline": round(fp_its / BASELINE_ITERS_PER_SEC, 3),
+        "vs_baseline": round(fp_chunked / BASELINE_ITERS_PER_SEC, 3),
         "extra": {
-            "entropy_it_per_sec": round(entropy_its, 3),
+            "entropy_it_per_sec": round(entropy_chunked, 3),
             "representative_it_per_sec": round(rep_its, 3),
+            "fp_per_dispatch_it_per_sec": round(fp_its, 3),
+            "entropy_per_dispatch_it_per_sec": round(entropy_its, 3),
             "decode_fps": round(decode_fps, 2),
             "decode_fps_device": round(decode_fps_device, 2),
             "decode_fps_device_rep": round(decode_fps_device_rep, 2),

@@ -77,6 +77,12 @@ class PipelineConfig:
     # scaling_reg shrinks footprints
     overflow_autogrow: bool = True
     mesh_shape: str = ""            # e.g. "dp=4,tp=2"; "" = single chip
+    # train iterations folded into ONE device dispatch (lax.scan over the
+    # step body).  Through the remote-TPU tunnel each dispatch costs
+    # ~100-300 ms RPC, so per-iteration dispatch wastes ~1 s/iter; chunks
+    # end at host events (densify/log/eval/checkpoint).  0 = auto: the
+    # log cadence on real TPU, 1 (per-iteration, legacy path) elsewhere.
+    steps_per_dispatch: int = 0
 
 
 @dataclass

@@ -915,6 +915,49 @@ def _mca_fwd(settings, attrs, tile_lists, counts, m2d):
     return out, (planes, tile_lists, counts, t_chk, attrs.shape, m_shape)
 
 
+# live padded stack per scatter chunk: rows x 128 lanes x 4 B (~256 MB);
+# module-level so tests can shrink it to exercise the chunked path
+_SCATTER_CHUNK_ROWS = 1 << 19
+
+
+def _chunked_row_scatter(cols, ids2d, m_rows):
+    """Scatter-add per-tile column grads into ``[m_rows, len(cols)]``.
+
+    cols: list of [T, cap] grads; ids2d: [T, cap] int32 row ids (invalid
+    entries already clamped to 0 with zero values).  The naive form
+    stacks all T*cap rows into one ``[T*cap, n_cols]`` operand — XLA
+    tiles that T(8,128), padding n_cols(9|13)->128 lanes, which at
+    flagship geometry (2025 tiles x 4096 cap) is a 3.96 GB HLO temp
+    (9.8x expansion) and OOMs the 16 GB HBM inside the multi-step scan
+    (measured: round-3 flagship fit, entropy-phase compile).  Chunking
+    the scatter over tile groups bounds the live stack to ~256 MB while
+    keeping the row-major scatter form (per-plane scatters are 5x
+    slower, CLAUDE.md)."""
+    t_n, cap = cols[0].shape
+    n_cols = len(cols)
+    n_chunks = max(1, -(-(t_n * cap) // _SCATTER_CHUNK_ROWS))
+    if n_chunks == 1:
+        rows = jnp.stack([c.reshape(-1) for c in cols], axis=1)
+        return jnp.zeros((m_rows, n_cols), rows.dtype
+                         ).at[ids2d.reshape(-1)].add(rows)
+    tc = -(-t_n // n_chunks)
+    pad = n_chunks * tc - t_n
+    if pad:
+        cols = [jnp.pad(c, ((0, pad), (0, 0))) for c in cols]
+        ids2d = jnp.pad(ids2d, ((0, pad), (0, 0)))  # row 0, zero values
+
+    def body(i, acc):
+        t0 = i * tc
+        rows = jnp.stack(
+            [jax.lax.dynamic_slice_in_dim(c, t0, tc).reshape(-1)
+             for c in cols], axis=1)
+        ids = jax.lax.dynamic_slice_in_dim(ids2d, t0, tc).reshape(-1)
+        return acc.at[ids].add(rows)
+
+    return jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((m_rows, n_cols), cols[0].dtype))
+
+
 def _mca_bwd(settings, res, g_out):
     planes, tile_lists, counts, t_chk, a_shape, m_shape = res
     f_n, m_rows, _ = a_shape
@@ -943,10 +986,8 @@ def _mca_bwd(settings, res, g_out):
         cols += [grads[i][sl] for i in range(2, 9)]
         if has_m2d:
             cols += [mux_v0, muy_v0, mux_v1, muy_v1]
-        rows = jnp.stack([c.reshape(-1) for c in cols], axis=1)
-        ids = jnp.maximum(tile_lists[f].reshape(-1), 0)
-        scat = jnp.zeros((m_rows, rows.shape[1]), rows.dtype
-                         ).at[ids].add(rows)
+        ids2d = jnp.maximum(tile_lists[f], 0)
+        scat = _chunked_row_scatter(cols, ids2d, m_rows)
         d_attrs.append(scat[:, :9])
         if has_m2d:
             d_m2d.append(scat[:, 9:11])

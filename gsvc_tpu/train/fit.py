@@ -31,7 +31,9 @@ from gsvc_tpu.train.controller import TrainingController
 from gsvc_tpu.train.densify import adjust_anchors, resort_by_z
 from gsvc_tpu.train.optim import AdamState, adam_init
 from gsvc_tpu.train.schedules import build_schedules
-from gsvc_tpu.train.trainer import TrainStats, init_stats, make_train_step
+from gsvc_tpu.train.trainer import (
+    TrainStats, init_stats, make_train_multi_step, make_train_step,
+)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -147,6 +149,8 @@ class GOPFitter:
         # stays in cache (~1 min for 600x1080p)
         t_n, h, w = (self.dataset.images.shape[0], dataset.height,
                      dataset.width)
+        self.log(f"uploading {t_n} frames + flows to device "
+                 f"({t_n * 3 * h * w / 2**30:.1f} GB u8 + flows bf16)...")
         img8 = np.empty((t_n, 3, h, w), np.uint8)
         u8_src = getattr(dataset, "images_u8", None)
         for i in range(t_n):
@@ -167,6 +171,7 @@ class GOPFitter:
             self.flows = jnp.zeros(
                 (max(dataset.num_frames - 1, 1), 2, dataset.height,
                  dataset.width), jnp.bfloat16)
+        self.log("frame/flow stacks uploaded")
 
     def _resolve_voxel_size(self, pts, voxel_size):
         if voxel_size > 0:
@@ -204,18 +209,26 @@ class GOPFitter:
                 self.cfg.optimization, width=d.width, height=d.height,
                 scale=d.scale, x_min=d.x_min, y_min=d.y_min,
                 rasterizer=rasterizer)
+            self.train_multi_step = make_train_multi_step(
+                self.gcfg, self.settings, self.window_cap,
+                self.cfg.optimization, width=d.width, height=d.height,
+                scale=d.scale, x_min=d.x_min, y_min=d.y_min,
+                rasterizer=rasterizer)
 
     def _lr_values(self, it: int) -> Dict[str, float]:
         return {name: sched(it) for name, sched in self.schedules.items()}
 
     def _step_with_retry(self, *args, **kw):
+        return self._dispatch_with_retry(self.train_step, *args, **kw)
+
+    def _dispatch_with_retry(self, fn, *args, **kw):
         """The axon tunnel's remote-compile RPC occasionally drops large
         programs mid-transfer; compile failures happen BEFORE buffer
         donation, so retrying is safe (a post-donation failure raises a
         deleted-buffer error on retry and propagates)."""
         for attempt in range(4):
             try:
-                return self.train_step(*args, **kw)
+                return fn(*args, **kw)
             except Exception as e:  # jax.errors.JaxRuntimeError etc.
                 msg = str(e)
                 transient = ("remote_compile" in msg or "read body" in msg
@@ -466,6 +479,44 @@ class GOPFitter:
             pickle.dump(nets_host, f)
 
     # -- main loop ---------------------------------------------------------
+    def _iter_flags(self, it: int):
+        """(mode, do_stats, adjust_anchor) at loop iteration ``it`` — the
+        controller is a pure function of its counter, so chunk planning
+        can look ahead without touching ``self.controller``."""
+        c = TrainingController(self.cfg.optimization)
+        c.current_iteration = it
+        return c.render_mode, c.gaussian_statis, c.gaussian_adjust_anchor
+
+    def _chunk_len(self, it0: int, total: int, log_every: int,
+                   eval_every: int, checkpoint_iterations,
+                   rate_log_every: int, max_chunk: int) -> int:
+        """Longest run of iterations starting at ``it0`` that one device
+        dispatch can cover: constant (mode, do_stats) and no host event
+        (densify / log / eval / checkpoint / rate telemetry) before the
+        last included iteration."""
+        mode0, stats0, _ = self._iter_flags(it0)
+        if mode0 is None:
+            return 1
+        k = 1
+        while k < max_chunk and it0 + k <= total:
+            prev = it0 + k - 1  # would become an interior iteration
+            _, _, adj = self._iter_flags(prev)
+            if adj:
+                break
+            if log_every and prev % log_every == 0:
+                break
+            if eval_every and prev % eval_every == 0:
+                break
+            if prev in checkpoint_iterations:
+                break
+            if rate_log_every and prev % rate_log_every == 0:
+                break
+            mode_n, stats_n, _ = self._iter_flags(it0 + k)
+            if mode_n is not mode0 or stats_n != stats0:
+                break
+            k += 1
+        return k
+
     def fit(self, iterations: Optional[int] = None,
             eval_every: int = 0, log_every: int = 100,
             rate_log_every: int = 0,
@@ -478,46 +529,39 @@ class GOPFitter:
         t0 = time.time()
         n_frames = self.dataset.num_frames
 
+        spd = self.cfg.pipeline.steps_per_dispatch
+        if spd == 0:  # auto: amortize tunnel RPC on real TPU
+            spd = (log_every or 100) if (
+                self.mesh is None and jax.default_backend() == "tpu") else 1
+        use_multi = spd > 1 and self.mesh is None
+
+        # resume-aware: a restored checkpoint leaves the controller at the
+        # checkpoint iteration; the loop counter MUST continue from there
+        # (absolute iteration numbers drive the LR schedules, the phase
+        # controller, chunk planning, and checkpoint/log labels — a loop
+        # restarted at 1 would replay the LR warmup against a mid-fit
+        # controller and over-run the schedule by another `total`).
+        start = self.controller.current_iteration
+        if start >= total:
+            raise ValueError(
+                f"resume iteration {start} >= total {total}: nothing to do")
+
         self.controller.step()
-        for it in range(1, total + 1):
-            lrs = self._lr_values(it)
-            mode = self.controller.render_mode
-            if mode is None:  # (enum value 0 is falsy — no `or` here)
-                mode = GenerateMode.STE_ENTROPY
-            do_stats = self.controller.gaussian_statis
-            self.key, sk = jax.random.split(self.key)
-
-            if self.mesh is not None:
-                # one DIFFERENT frame pair per dp group per step
-                fidxs = [int(self.rng.integers(0, max(n_frames - 1, 1)))
-                         for _ in range(self.n_dp)]
-                z1 = jnp.asarray([self.frame_zs[i] for i in fidxs])
-                z2 = jnp.asarray([
-                    self.frame_zs[min(i + 1, n_frames - 1)] for i in fidxs])
-                gt1 = self.images[jnp.asarray(fidxs)]
-                gt2 = self.images[jnp.asarray(
-                    [min(i + 1, n_frames - 1) for i in fidxs])]
-                flow = self.flows[jnp.asarray(
-                    [min(i, self.flows.shape[0] - 1) for i in fidxs])]
-                keys = jax.random.split(sk, self.n_dp)
-                self.state, self.adam, self.stats, metrics = \
-                    self._step_with_retry(
-                        self.state, self.adam, self.stats, lrs,
-                        z1, z2, gt1, gt2, flow, keys,
-                        mode=mode, do_stats=do_stats)
+        self.log(f"loop start at iter {start + 1}/{total} "
+                 f"(chunked dispatch={'on' if use_multi else 'off'}; a new "
+                 f"program shape compiles remotely on first dispatch)")
+        it = start + 1
+        while it <= total:
+            chunk = self._chunk_len(
+                it, total, log_every, eval_every, checkpoint_iterations,
+                rate_log_every, spd) if use_multi else 1
+            if chunk > 1:
+                it = self._run_chunk(it, chunk)
+                metrics = self._chunk_metrics
             else:
-                fidx = int(self.rng.integers(0, max(n_frames - 1, 1)))
-                z1 = self.frame_zs[fidx]
-                z2 = self.frame_zs[min(fidx + 1, n_frames - 1)]
-                gt1 = self.images[fidx]
-                gt2 = self.images[min(fidx + 1, n_frames - 1)]
-                flow = self.flows[min(fidx, self.flows.shape[0] - 1)]
-                self.state, self.adam, self.stats, metrics = \
-                    self._step_with_retry(
-                        self.state, self.adam, self.stats, lrs,
-                        z1, z2, gt1, gt2, flow, sk, mode=mode,
-                        do_stats=do_stats)
+                metrics = self._run_single(it, n_frames)
 
+            # ---- host events at the (chunk-)end iteration ----
             if self.controller.gaussian_adjust_anchor:
                 res = self._densify()
                 self.log(f"iter {it}: densify +{res.n_grown} "
@@ -545,6 +589,9 @@ class GOPFitter:
                                         num_rendered=int(m.num_rendered))
 
             if eval_every and it % eval_every == 0:
+                mode = self.controller.render_mode
+                if mode is None:
+                    mode = GenerateMode.STE_ENTROPY
                 ev = self.evaluate(mode=mode)
                 self.log(f"iter {it}: eval psnr={ev['psnr']:.2f}")
 
@@ -574,6 +621,7 @@ class GOPFitter:
                     f"total={est.total/8/2**20:.3f}")
 
             self.controller.step()
+            it += 1
 
         m = jax.device_get(metrics)
         report.iterations = total
@@ -582,6 +630,81 @@ class GOPFitter:
         report.bit_per_param = float(m.bit_per_param)
         report.n_active = int(self.state.n_active)
         return report
+
+    def _run_chunk(self, it0: int, chunk: int) -> int:
+        """Dispatch iterations [it0, it0+chunk) as one multi-step program;
+        returns the end iteration.  Host-side RNG consumption (one
+        ``rng.integers`` per iteration) and the device key-split chain
+        match the single-step path exactly."""
+        n_frames = self.dataset.num_frames
+        mode = self.controller.render_mode
+        if mode is None:  # (enum value 0 is falsy — no `or` here)
+            mode = GenerateMode.STE_ENTROPY
+        do_stats = self.controller.gaussian_statis
+
+        f1 = np.asarray([
+            int(self.rng.integers(0, max(n_frames - 1, 1)))
+            for _ in range(chunk)], np.int32)
+        f2 = np.minimum(f1 + 1, n_frames - 1).astype(np.int32)
+        fl = np.minimum(f1, self.flows.shape[0] - 1).astype(np.int32)
+        lr_stack = {name: np.asarray([sched(i) for i in
+                                      range(it0, it0 + chunk)], np.float32)
+                    for name, sched in self.schedules.items()}
+        (self.state, self.adam, self.stats, self.key,
+         self._chunk_metrics) = self._dispatch_with_retry(
+            self.train_multi_step, self.state, self.adam, self.stats,
+            self.key, lr_stack,
+            jnp.asarray(self.frame_zs[f1]), jnp.asarray(self.frame_zs[f2]),
+            jnp.asarray(f1), jnp.asarray(f2), jnp.asarray(fl),
+            self.images, self.flows, mode=mode, do_stats=do_stats)
+
+        # interior iterations have no host events (chunk construction);
+        # leave the controller AT the end iteration for the event block
+        for _ in range(chunk - 1):
+            self.controller.step()
+        return it0 + chunk - 1
+
+    def _run_single(self, it: int, n_frames: int):
+        """One per-iteration dispatch (the legacy path; also the SPMD
+        path, where the step is a shard_map program)."""
+        lrs = self._lr_values(it)
+        mode = self.controller.render_mode
+        if mode is None:  # (enum value 0 is falsy — no `or` here)
+            mode = GenerateMode.STE_ENTROPY
+        do_stats = self.controller.gaussian_statis
+        self.key, sk = jax.random.split(self.key)
+
+        if self.mesh is not None:
+            # one DIFFERENT frame pair per dp group per step
+            fidxs = [int(self.rng.integers(0, max(n_frames - 1, 1)))
+                     for _ in range(self.n_dp)]
+            z1 = jnp.asarray([self.frame_zs[i] for i in fidxs])
+            z2 = jnp.asarray([
+                self.frame_zs[min(i + 1, n_frames - 1)] for i in fidxs])
+            gt1 = self.images[jnp.asarray(fidxs)]
+            gt2 = self.images[jnp.asarray(
+                [min(i + 1, n_frames - 1) for i in fidxs])]
+            flow = self.flows[jnp.asarray(
+                [min(i, self.flows.shape[0] - 1) for i in fidxs])]
+            keys = jax.random.split(sk, self.n_dp)
+            self.state, self.adam, self.stats, metrics = \
+                self._step_with_retry(
+                    self.state, self.adam, self.stats, lrs,
+                    z1, z2, gt1, gt2, flow, keys,
+                    mode=mode, do_stats=do_stats)
+        else:
+            fidx = int(self.rng.integers(0, max(n_frames - 1, 1)))
+            z1 = self.frame_zs[fidx]
+            z2 = self.frame_zs[min(fidx + 1, n_frames - 1)]
+            gt1 = self.images[fidx]
+            gt2 = self.images[min(fidx + 1, n_frames - 1)]
+            flow = self.flows[min(fidx, self.flows.shape[0] - 1)]
+            self.state, self.adam, self.stats, metrics = \
+                self._step_with_retry(
+                    self.state, self.adam, self.stats, lrs,
+                    z1, z2, gt1, gt2, flow, sk, mode=mode,
+                    do_stats=do_stats)
+        return metrics
 
     # -- evaluation --------------------------------------------------------
     def evaluate(self, mode: GenerateMode = GenerateMode.FULL_PRECISION,

@@ -264,22 +264,24 @@ def accumulate_stats(stats: TrainStats, renders, m2d_grads, scale, k: int
                       offset_gradient_accum=oga, offset_denom=od)
 
 
-def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
-                    window_cap: int, opt: OptimizationConfig,
-                    width: int, height: int, scale: float,
-                    x_min: float, y_min: float, rasterizer: str = "jnp"):
-    """Builds the jitted single-chip train step closed over static config."""
+def make_step_body(cfg: GaussianConfig, settings: RasterSettings,
+                   window_cap: int, opt: OptimizationConfig,
+                   width: int, height: int, scale: float,
+                   x_min: float, y_min: float, rasterizer: str = "jnp"):
+    """The un-jitted single-chip step: loss + backward + stats + Adam.
+
+    Shared by ``make_train_step`` (one jit call per iteration) and
+    ``make_train_multi_step`` (a ``lax.scan`` over K iterations per
+    dispatch — same ops, so the two paths match numerically)."""
 
     k = cfg.n_offsets
     _loss = make_pair_loss(cfg, settings, window_cap, opt, width, height,
                            scale, x_min, y_min, rasterizer=rasterizer)
 
-    @functools.partial(jax.jit, static_argnames=("mode", "do_stats"),
-                       donate_argnums=(0, 1, 2))
-    def train_step(state: ModelState, adam_state: AdamState,
-                   stats: TrainStats, lr_values: dict,
-                   z1, z2, gt1, gt2, flow, key,
-                   mode: GenerateMode, do_stats: bool):
+    def step_body(state: ModelState, adam_state: AdamState,
+                  stats: TrainStats, lr_values: dict,
+                  z1, z2, gt1, gt2, flow, key,
+                  mode: GenerateMode, do_stats: bool):
         gt1, gt2, flow = gt_f32(gt1), gt_f32(gt2), gt_f32(flow)
         params = (state.anchors, state.nets)
         rows = window_cap * k
@@ -305,4 +307,69 @@ def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
                                    nets=new_params[1])
         return new_state, adam_state, stats, aux["metrics"]
 
-    return train_step
+    return step_body
+
+
+def make_train_step(cfg: GaussianConfig, settings: RasterSettings,
+                    window_cap: int, opt: OptimizationConfig,
+                    width: int, height: int, scale: float,
+                    x_min: float, y_min: float, rasterizer: str = "jnp"):
+    """Builds the jitted single-chip train step closed over static config."""
+
+    step_body = make_step_body(cfg, settings, window_cap, opt, width,
+                               height, scale, x_min, y_min,
+                               rasterizer=rasterizer)
+    return functools.partial(jax.jit, static_argnames=("mode", "do_stats"),
+                             donate_argnums=(0, 1, 2))(step_body)
+
+
+def make_train_multi_step(cfg: GaussianConfig, settings: RasterSettings,
+                          window_cap: int, opt: OptimizationConfig,
+                          width: int, height: int, scale: float,
+                          x_min: float, y_min: float,
+                          rasterizer: str = "jnp"):
+    """K train iterations per device dispatch (``lax.scan`` over the step
+    body), with the per-iteration feed work moved ON DEVICE:
+
+    - ground-truth frames / flow are indexed from the HBM-resident GOP
+      stacks by scalar frame ids inside the scan body, and
+    - the PRNG key evolves in-carry with the same ``jax.random.split``
+      chain the host loop performs,
+
+    so one dispatch replaces the ~5 per-iteration RPC round trips that
+    dominate wall-clock through the remote-TPU tunnel (~100-300 ms each,
+    CLAUDE.md) while computing bit-identical ops to the single-step path.
+    Returns ``(state, adam, stats, key, metrics)`` where metrics are the
+    LAST iteration's (the host loop only ever reads metrics at
+    log/densify boundaries, which chunk construction places at the end
+    of a dispatch)."""
+
+    step_body = make_step_body(cfg, settings, window_cap, opt, width,
+                               height, scale, x_min, y_min,
+                               rasterizer=rasterizer)
+
+    @functools.partial(jax.jit, static_argnames=("mode", "do_stats"),
+                       donate_argnums=(0, 1, 2, 3))
+    def multi_step(state: ModelState, adam_state: AdamState,
+                   stats: TrainStats, key, lr_stack: dict,
+                   z1s, z2s, f1s, f2s, fls, images, flows,
+                   mode: GenerateMode, do_stats: bool):
+        def body(carry, xs):
+            st, ad, sts, k_ = carry
+            lrs, z1, z2, f1, f2, fl = xs
+            k_, sk = jax.random.split(k_)
+            gt1 = images[f1]
+            gt2 = images[f2]
+            flow = flows[fl]
+            st, ad, sts, metrics = step_body(
+                st, ad, sts, lrs, z1, z2, gt1, gt2, flow, sk,
+                mode=mode, do_stats=do_stats)
+            return (st, ad, sts, k_), metrics
+
+        (state, adam_state, stats, key), ms = jax.lax.scan(
+            body, (state, adam_state, stats, key),
+            (lr_stack, z1s, z2s, f1s, f2s, fls))
+        return (state, adam_state, stats, key,
+                jax.tree.map(lambda x: x[-1], ms))
+
+    return multi_step

@@ -7,7 +7,14 @@
 # Usage: supervise_fit.sh <model_dir> <lmbda>
 set -u
 DIR=$1; LM=$2
-STALE=${STALE:-1500}
+# Stale threshold must exceed the longest LEGITIMATE silent span: a
+# flagship resume spends ~25 min loading + uploading the GOP through
+# the tunnel, then up to ~30 min in a remote compile of a new phase's
+# program — neither writes the log (fit.py logs stage lines to shrink
+# the silent spans, but a big remote compile is one blocking call).
+# 1500 s killed healthy resumes in a loop (09:12-09:38 in
+# artifacts/rd_r3/lmbda_0.004/output.log).
+STALE=${STALE:-5400}
 SEQLOG=/tmp/rd_seq.log
 
 launch() {

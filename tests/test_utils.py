@@ -76,3 +76,38 @@ def test_checkpoint_roundtrip(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(f1.adam.m[0].feat), np.asarray(f2.adam.m[0].feat))
     assert f2.controller.current_iteration == f1.controller.current_iteration
+
+
+def test_checkpoint_resume_continues_fit(tmp_path):
+    """A resumed fit must CONTINUE the schedule — absolute iteration
+    numbers drive the LR schedules, phase controller, and log labels
+    (regression: the loop used to restart at 1 after a restore, replaying
+    the LR warmup and over-running the schedule by another `total`)."""
+    from gsvc_tpu.framecube import FrameCubeDataset
+    from gsvc_tpu.train.fit import GOPFitter
+    from gsvc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+    from tests.test_train import small_config, synthetic_video
+
+    frames = synthetic_video(t=4)
+    ds = FrameCubeDataset(images=frames)
+    cfg = small_config(iterations=20)
+
+    fa = GOPFitter(cfg, ds, seed=7)
+    ra = fa.fit(log_every=5)
+
+    fb = GOPFitter(cfg, ds, seed=7)
+    fb.fit(iterations=10, log_every=5)
+    p = str(tmp_path / "ck.pkl")
+    save_checkpoint(p, fb, 10)
+    fc = GOPFitter(cfg, ds, seed=7)
+    assert load_checkpoint(p, fc) == 10
+    rc = fc.fit(log_every=5)  # continues 11..20
+
+    assert [h["iter"] for h in rc.history] == [15, 20]
+    tail = {h["iter"]: h for h in ra.history}
+    for h in rc.history:
+        assert np.isclose(h["loss"], tail[h["iter"]]["loss"], rtol=2e-3), (
+            h, tail[h["iter"]])
+    np.testing.assert_allclose(np.asarray(fa.state.anchors.anchor),
+                               np.asarray(fc.state.anchors.anchor),
+                               atol=1e-4)
