@@ -83,6 +83,10 @@ class PipelineConfig:
     # end at host events (densify/log/eval/checkpoint).  0 = auto: the
     # log cadence on real TPU, 1 (per-iteration, legacy path) elsewhere.
     steps_per_dispatch: int = 0
+    # densify epochs as an index plan applied on device (host moves only
+    # the small decision planes; bit-exact vs the host-surgery path —
+    # tests/test_densify_plan.py).  Off = pull/push every plane to host.
+    device_densify: bool = True
 
 
 @dataclass

@@ -294,6 +294,8 @@ class GOPFitter:
     def _densify(self):
         if self.mesh is not None:
             return self._densify_spmd()
+        if self.cfg.pipeline.device_densify:
+            return self._densify_device()
         n = int(self.state.n_active)
         k = self.gcfg.n_offsets
         anchors = {f: np.asarray(getattr(self.state.anchors, f))[:n].copy()
@@ -374,6 +376,66 @@ class GOPFitter:
         if recompiled:
             self._build_step()
         return res
+
+    def _densify_device(self):
+        """Index-plan densify epoch: the host pulls only the small
+        decision planes (~10 MB at 100k anchors vs ~90 MB for the host
+        path), computes the grow/prune/z-sort plan, and a jitted device
+        program applies it with gathers (train/densify_plan.py).
+        Bit-exact vs the host path (tests/test_densify_plan.py)."""
+        from gsvc_tpu.train.densify_plan import apply_plan, build_plan
+
+        n = int(self.state.n_active)
+        k = self.gcfg.n_offsets
+        stats = {
+            "opacity_accum": np.asarray(self.stats.opacity_accum[:n]),
+            "anchor_demon": np.asarray(self.stats.anchor_demon[:n]),
+            "offset_gradient_accum": np.asarray(
+                self.stats.offset_gradient_accum[:n * k]),
+            "offset_denom": np.asarray(self.stats.offset_denom[:n * k]),
+        }
+
+        opt = self.cfg.optimization
+        if opt.auto_densify_threshold and not getattr(
+                self, "_threshold_calibrated", False):
+            from gsvc_tpu.train.calibrate import calibrate_densify_threshold
+
+            new_thr = calibrate_densify_threshold(
+                stats, opt, opt.densify_target_fraction)
+            self.log(f"densify threshold calibrated: "
+                     f"{opt.densify_grad_threshold:.6f} -> {new_thr:.6f} "
+                     f"(target fraction {opt.densify_target_fraction})")
+            opt.densify_grad_threshold = new_thr
+            self._threshold_calibrated = True
+
+        offsets_flat = self.state.anchors.offset.reshape(-1, 3)
+        plan = build_plan(
+            anchor=np.asarray(self.state.anchors.anchor[:n]),
+            scaling=np.asarray(self.state.anchors.scaling[:n]),
+            stats=stats,
+            fetch_offsets=lambda idx: np.asarray(
+                jnp.take(offsets_flat, jnp.asarray(idx, jnp.int32), axis=0)),
+            mc=self.cfg.model, opt=opt, voxel_size=self.voxel_size,
+            rng=self.rng, capacity=self.capacity)
+
+        new_anchors, new_m, new_v, new_stats = apply_plan(
+            plan, self.state.anchors, self.adam.m[0], self.adam.v[0],
+            self.stats)
+        recompiled = plan.capacity_out != self.capacity
+        self.capacity = plan.capacity_out
+        self.state = self.state._replace(
+            anchors=new_anchors,
+            n_active=jnp.asarray(plan.result.n_active, jnp.int32))
+        self.adam = AdamState(m=(new_m, self.adam.m[1]),
+                              v=(new_v, self.adam.v[1]),
+                              step=self.adam.step)
+        self.stats = new_stats
+
+        if self._maybe_resize_window(plan.z_full, plan.result.n_active):
+            recompiled = True
+        if recompiled:
+            self._build_step()
+        return plan.result
 
     # -- overflow reaction -------------------------------------------------
     MAX_GAUSSIAN_CAP = 4096
