@@ -83,6 +83,11 @@ class PipelineConfig:
     # end at host events (densify/log/eval/checkpoint).  0 = auto: the
     # log cadence on real TPU, 1 (per-iteration, legacy path) elsewhere.
     steps_per_dispatch: int = 0
+    # compacted copy-stream binning: sort ``factor * window`` copy keys
+    # placed at exclusive-cumsum positions of each gaussian's REAL tile
+    # coverage instead of padding every gaussian to tiles_per_gaussian
+    # copies (render/splat.py:_bin_gaussians).  0 = legacy padded stream.
+    copy_budget_factor: int = 0
     # densify epochs as an index plan applied on device (host moves only
     # the small decision planes; bit-exact vs the host-surgery path —
     # tests/test_densify_plan.py).  Off = pull/push every plane to host.

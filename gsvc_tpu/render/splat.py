@@ -73,6 +73,16 @@ class RasterSettings:
     # NDC at the flagship geometry) and scaling_reg still sees the raw
     # value, so over-bound gaussians keep their shrink gradient.
     clamp_to_coverage: bool = True
+    # Compacted copy-stream binning: sort a budget of ``factor * window``
+    # copy keys derived from the EXCLUSIVE-CUMSUM positions of each
+    # gaussian's actual tile coverage, instead of padding every gaussian
+    # to ``tiles_per_gaussian`` copies.  Real coverage averages a few
+    # tiles, so the device-wide binning sort shrinks ~t_max/factor x
+    # (e.g. 8x at the flagship's grown t_max=128).  0 = legacy padded
+    # stream.  Copies beyond the budget (deepest-z gaussians, whole-
+    # gaussian drops) are counted in ``overflow`` and the fitter grows
+    # the factor like the other capacities.
+    copy_budget_factor: int = 0
     bg: float = 0.0
 
     @property
@@ -261,35 +271,78 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     coverage_clipped = jnp.sum(
         jnp.where(proj.valid, jnp.maximum(n_cover - t_max, 0), 0))
 
-    slot = jnp.arange(t_max, dtype=jnp.int32)[None, :]        # [1, T]
-    dy = slot // wx[:, None]
-    dx = slot - dy * wx[:, None]
-    copy_valid = (slot < n_cover[:, None]) & (dy < wy[:, None]) \
-        & proj.valid[:, None]
-    tile_id = (ty0[:, None] + dy) * settings.n_tiles_x + (tx0[:, None] + dx)
+    fused_ok = (settings.n_tiles + 1) << rank_bits <= 2 ** 31
+    factor = settings.copy_budget_factor
+    budget_dropped = jnp.int32(0)
 
-    tile_key = jnp.where(copy_valid, tile_id,
-                         jnp.int32(settings.n_tiles)).reshape(-1)
-    gauss_id = jnp.broadcast_to(
-        jnp.arange(m, dtype=jnp.int32)[:, None], (m, t_max)).reshape(-1)
-
-    if (settings.n_tiles + 1) << rank_bits <= 2 ** 31:
-        # fused (tile << rank_bits | depth-rank) int32 key: ONE single-key
-        # sort instead of a two-key lexicographic sort (~2x faster; the
-        # binning sort is the dominant non-compositing cost per render)
-        rank_b = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
-        fused = (tile_key << rank_bits) | rank_b
+    if factor and factor < t_max and fused_ok:
+        # Compacted copy stream: copy p of the stream maps to gaussian
+        # gi = searchsorted(cumsum(coverage), p, 'right') and local slot
+        # j = p - exclusive_cumsum[gi].  Same (gaussian, slot) order as
+        # the padded stream, so with a stable sort the resulting tile
+        # lists are IDENTICAL whenever nothing exceeds the budget
+        # (tests/test_render.py parity).  Gather-only construction: one
+        # row gather of the 6 per-gaussian planes at gi — no scatter.
+        n_cover_c = jnp.where(proj.valid, jnp.minimum(n_cover, t_max), 0)
+        cum = jnp.cumsum(n_cover_c.astype(jnp.int32))
+        base = cum - n_cover_c
+        total = cum[-1]
+        budget = m * factor
+        p = jnp.arange(budget, dtype=jnp.int32)
+        gi = jnp.clip(jnp.searchsorted(cum, p, side="right"),
+                      0, m - 1).astype(jnp.int32)
+        attrs = jnp.stack([tx0, ty0, wx, n_cover_c, base, rank],
+                          axis=1)                           # [m, 6] rows
+        rows = jnp.take(attrs, gi, axis=0)                  # [budget, 6]
+        atx0, aty0, awx, acov, abase, arank = (
+            rows[:, c] for c in range(6))
+        j_loc = p - abase
+        live = (j_loc >= 0) & (j_loc < acov)
+        dy = j_loc // jnp.maximum(awx, 1)
+        dx = j_loc - dy * jnp.maximum(awx, 1)
+        tile_id_c = (aty0 + dy) * settings.n_tiles_x + (atx0 + dx)
+        tile_key = jnp.where(live, tile_id_c, jnp.int32(settings.n_tiles))
+        fused = (tile_key << rank_bits) | jnp.where(live, arank, 0)
         fused_sorted, gauss_sorted = jax.lax.sort(
-            (fused, gauss_id), num_keys=1)
+            (fused, gi), num_keys=1)
         bounds = jnp.searchsorted(
             fused_sorted, jnp.arange(settings.n_tiles + 1,
                                      dtype=jnp.int32) << rank_bits)
+        budget_dropped = jnp.maximum(total - budget, 0)
+        src_len = budget
     else:
-        rank_key = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
-        tile_sorted, _, gauss_sorted = jax.lax.sort(
-            (tile_key, rank_key, gauss_id), num_keys=2)
-        bounds = jnp.searchsorted(
-            tile_sorted, jnp.arange(settings.n_tiles + 1, dtype=jnp.int32))
+        slot = jnp.arange(t_max, dtype=jnp.int32)[None, :]    # [1, T]
+        sdy = slot // wx[:, None]
+        sdx = slot - sdy * wx[:, None]
+        copy_valid = (slot < n_cover[:, None]) & (sdy < wy[:, None]) \
+            & proj.valid[:, None]
+        tile_id = (ty0[:, None] + sdy) * settings.n_tiles_x \
+            + (tx0[:, None] + sdx)
+        tile_key = jnp.where(copy_valid, tile_id,
+                             jnp.int32(settings.n_tiles)).reshape(-1)
+        gauss_id = jnp.broadcast_to(
+            jnp.arange(m, dtype=jnp.int32)[:, None], (m, t_max)).reshape(-1)
+
+        if fused_ok:
+            # fused (tile << rank_bits | depth-rank) int32 key: ONE
+            # single-key sort instead of a two-key lexicographic sort
+            # (~2x faster; the binning sort is the dominant
+            # non-compositing cost per render)
+            rank_b = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
+            fused = (tile_key << rank_bits) | rank_b
+            fused_sorted, gauss_sorted = jax.lax.sort(
+                (fused, gauss_id), num_keys=1)
+            bounds = jnp.searchsorted(
+                fused_sorted, jnp.arange(settings.n_tiles + 1,
+                                         dtype=jnp.int32) << rank_bits)
+        else:
+            rank_key = jnp.broadcast_to(rank[:, None], (m, t_max)).reshape(-1)
+            tile_sorted, _, gauss_sorted = jax.lax.sort(
+                (tile_key, rank_key, gauss_id), num_keys=2)
+            bounds = jnp.searchsorted(
+                tile_sorted, jnp.arange(settings.n_tiles + 1,
+                                        dtype=jnp.int32))
+        src_len = m * t_max
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
 
@@ -297,10 +350,11 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     j = jnp.arange(cap, dtype=jnp.int32)[None, :]
     gather_idx = tile_start[:, None] + j                    # [n_tiles, cap]
     in_range = j < tile_count[:, None]
-    gather_idx = jnp.clip(gather_idx, 0, m * t_max - 1)
+    gather_idx = jnp.clip(gather_idx, 0, src_len - 1)
     tile_lists = jnp.where(in_range, gauss_sorted[gather_idx], -1)
 
-    overflow = jnp.maximum(tile_count - cap, 0).sum() + coverage_clipped
+    overflow = (jnp.maximum(tile_count - cap, 0).sum() + coverage_clipped
+                + budget_dropped)
     total_copies = jnp.minimum(tile_count, cap).sum()
     return tile_lists, jnp.minimum(tile_count, cap), overflow, total_copies
 

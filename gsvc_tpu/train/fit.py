@@ -124,7 +124,8 @@ class GOPFitter:
             self.gcfg, dataset.height, dataset.width,
             tile_h=cfg.pipeline.tile_h, tile_w=cfg.pipeline.tile_w,
             gaussian_cap=cfg.pipeline.visible_capacity or 1024,
-            chunk=cfg.pipeline.gaussian_chunk, bg=bg)
+            chunk=cfg.pipeline.gaussian_chunk,
+            copy_budget_factor=cfg.pipeline.copy_budget_factor, bg=bg)
 
         self._overflow_strikes = 0
         self.schedules = build_schedules(opt, spatial_lr_scale=1.0,
@@ -469,10 +470,14 @@ class GOPFitter:
                         # tiles_per_gaussian keeps the binning sort
                         # (m * t_max keys) oversized forever otherwise
                         new_tpg = max(base_tpg, s.tiles_per_gaussian // 2)
+                        base_cbf = self.cfg.pipeline.copy_budget_factor
+                        new_cbf = (max(base_cbf, s.copy_budget_factor // 2)
+                                   if s.copy_budget_factor else 0)
                         import dataclasses
                         self.settings = dataclasses.replace(
                             s, gaussian_cap=new_cap,
-                            tiles_per_gaussian=new_tpg)
+                            tiles_per_gaussian=new_tpg,
+                            copy_budget_factor=new_cbf)
                         self._build_step()
                         self._underfill_strikes = 0
                         self.log(f"iter {it}: tile fill {avg_fill:.0f} << "
@@ -496,7 +501,15 @@ class GOPFitter:
         s = self.settings
         new_cap = min(s.gaussian_cap * 2, self.MAX_GAUSSIAN_CAP)
         new_tpg = min(s.tiles_per_gaussian * 2, self.MAX_TILES_PER_GAUSSIAN)
-        if new_cap == s.gaussian_cap and new_tpg == s.tiles_per_gaussian:
+        # a compacted copy budget (copy_budget_factor) can also be the
+        # overflowing capacity: double it toward tiles_per_gaussian (at
+        # factor >= t_max the compact path degenerates to the exact
+        # padded stream, so budget drops become structurally impossible
+        # and the at-max "harmless" analysis below stays valid)
+        new_cbf = (min(s.copy_budget_factor * 2, new_tpg)
+                   if s.copy_budget_factor else 0)
+        if (new_cap == s.gaussian_cap and new_tpg == s.tiles_per_gaussian
+                and new_cbf == s.copy_budget_factor):
             # at gaussian_cap >= 4096 the depth-ordered drops are invisible:
             # every composited alpha is >= 1/255, so transmittance after
             # 4096 rows is < e^-16 and dropped back rows contribute nothing
@@ -511,13 +524,16 @@ class GOPFitter:
             return False
         import dataclasses
         self.settings = dataclasses.replace(
-            s, gaussian_cap=new_cap, tiles_per_gaussian=new_tpg)
+            s, gaussian_cap=new_cap, tiles_per_gaussian=new_tpg,
+            copy_budget_factor=new_cbf)
         self._build_step()
         self._overflow_strikes = 0
         self.log(f"iter {it}: WARNING render overflow={overflow}; growing "
                  f"gaussian_cap {s.gaussian_cap}->{new_cap}, "
-                 f"tiles_per_gaussian {s.tiles_per_gaussian}->{new_tpg} "
-                 f"(re-jit)")
+                 f"tiles_per_gaussian {s.tiles_per_gaussian}->{new_tpg}"
+                 + (f", copy_budget_factor {s.copy_budget_factor}->"
+                    f"{new_cbf}" if s.copy_budget_factor else "")
+                 + " (re-jit)")
         return True
 
     # -- model snapshots (reference: FrameCube.save, frame_cube.py:151-154)

@@ -47,6 +47,7 @@ def save_checkpoint(path: str, fitter, iteration: int) -> None:
         # and re-pays the grow re-jits
         "gaussian_cap": fitter.settings.gaussian_cap,
         "tiles_per_gaussian": fitter.settings.tiles_per_gaussian,
+        "copy_budget_factor": fitter.settings.copy_budget_factor,
     }
     with open(path, "wb") as f:
         pickle.dump(payload, f)
@@ -91,7 +92,10 @@ def load_checkpoint(path: str, fitter) -> int:
 
         fitter.settings = dataclasses.replace(
             fitter.settings, gaussian_cap=p["gaussian_cap"],
-            tiles_per_gaussian=p["tiles_per_gaussian"])
+            tiles_per_gaussian=p["tiles_per_gaussian"],
+            copy_budget_factor=p.get(
+                "copy_budget_factor",
+                fitter.settings.copy_budget_factor))
     fitter._build_step()
     return p["iteration"]
 
