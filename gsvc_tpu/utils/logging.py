@@ -10,10 +10,23 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import pathlib
 import sys
 import time
 from typing import Optional
+
+
+def _stderr_is_file(path: pathlib.Path) -> bool:
+    """True when stderr is already redirected into ``path`` (supervisor
+    scripts run fits with ``>> output.log 2>&1``) — adding a FileHandler
+    for the same file would then duplicate every line."""
+    try:
+        st_err = os.fstat(sys.stderr.fileno())
+        st_f = os.stat(path)
+        return (st_err.st_dev, st_err.st_ino) == (st_f.st_dev, st_f.st_ino)
+    except (OSError, ValueError):
+        return False
 
 
 def setup_logging(model_path: Optional[str] = None,
@@ -21,6 +34,7 @@ def setup_logging(model_path: Optional[str] = None,
     logger = logging.getLogger("gsvc_tpu")
     logger.setLevel(logging.INFO)
     logger.handlers.clear()
+    logger.propagate = False
     fmt = logging.Formatter(
         "%(asctime)s | %(levelname)s | %(message)s", "%H:%M:%S")
     sh = logging.StreamHandler(sys.stderr)
@@ -29,9 +43,11 @@ def setup_logging(model_path: Optional[str] = None,
     if model_path:
         p = pathlib.Path(model_path)
         p.mkdir(parents=True, exist_ok=True)
-        fh = logging.FileHandler(p / filename)
-        fh.setFormatter(fmt)
-        logger.addHandler(fh)
+        target = p / filename
+        if not (target.exists() and _stderr_is_file(target)):
+            fh = logging.FileHandler(target)
+            fh.setFormatter(fmt)
+            logger.addHandler(fh)
     return logger
 
 
