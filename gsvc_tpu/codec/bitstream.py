@@ -47,12 +47,28 @@ from gsvc_tpu.models.gaussians import (
 from gsvc_tpu.ops import ste_binary
 from gsvc_tpu.ops.quant import (
     ANCHOR_ROUND_DIGITS, CLAMP_BOUND, quantize_anchor_indices,
-    dequantize_anchor,
 )
 
 MAX_BATCH = 1000
 BIT2MB = 8 * 1024 * 1024
 STREAM_Z_INTERVAL = 0.01
+
+# Probability-parameter quantization grid (reference:
+# common/range_coder.py:20,31-43 — Q_PROBA hard-coded to 1024).  μ and σ
+# in symbol units are snapped to a 1/1024 grid before CDF construction on
+# BOTH encode and decode, so the two sides build bit-identical CDFs as
+# long as their independently computed f32 entropy contexts agree within
+# half a grid step (~5e-4) — orders of magnitude above cross-backend XLA
+# drift (~1e-6 relative).  Without this, encode-on-TPU → decode-on-CPU
+# could shift one CDF boundary and desync the whole rANS stream.
+Q_PROBA = 1024.0
+
+
+def _quantize_proba(x: np.ndarray) -> np.ndarray:
+    """Snap probability parameters to the 1/Q_PROBA grid (the reference's
+    quantize_proba_parameters, common/range_coder.py:31-43; the +1e-6
+    nudge keeps σ strictly positive after rounding)."""
+    return np.round(np.asarray(x, np.float64) * Q_PROBA) / Q_PROBA + 1e-6
 
 
 @dataclasses.dataclass
@@ -102,30 +118,31 @@ class BitInfo:
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _context_batch(state: ModelState, cfg: GaussianConfig, anchors):
-    """Entropy context for one batch of decoder-order anchors.  Must be
-    called with identical inputs/batching on encode and decode."""
+    """Device entropy context — training-time rate estimation only; the
+    codec itself uses the deterministic host context below."""
     ec = calc_entropy_context(state, cfg, anchors, decoded=False)
     return ec
 
 
 def _context_batch_padded(state, cfg, anchors_np, size: int):
-    """_context_batch at a FIXED padded batch size.
+    """Entropy context for one batch of decoder-order anchors.
 
-    Ragged trailing batches would compile one XLA program per distinct
-    model size — minutes each through a remote-compile tunnel.  Padding
-    to ``size`` keeps exactly one compiled shape per (size, model), and
-    encode/decode share the identical padded program so their contexts
-    stay bit-identical."""
+    Computed by the DETERMINISTIC HOST path (codec/detctx.py): plain
+    numpy float64 with fixed summation order, identical on encode and
+    decode regardless of which accelerator either side runs on.  This is
+    what makes encode-on-TPU → decode-on-CPU streams decodable — device
+    f32 contexts differ across XLA backends, and one flipped CDF bin
+    desyncs the whole rANS stream (tests/test_cross_backend.py).
+
+    It is also much faster at encode time than the former padded device
+    programs: no remote-compile round-trips through the TPU tunnel for
+    ~100 flagship batches (``size`` is kept for signature compatibility;
+    ragged batches are free on the host)."""
+    from gsvc_tpu.codec.detctx import det_entropy_context
+
+    del size  # host path has no fixed-shape compile constraint
     a = np.asarray(anchors_np, np.float32)
-    n = a.shape[0]
-    if n < size:
-        pad = np.zeros((size, 3), np.float32)
-        pad[:n] = a
-        a = pad
-    ec = jax.device_get(_context_batch(state, cfg, jnp.asarray(a)))
-    if n < size:
-        ec = jax.tree.map(lambda v: v[:n], ec)
-    return ec
+    return det_entropy_context(state, cfg, a)
 
 
 def _symbol_range(mean: np.ndarray, q: np.ndarray) -> Tuple[int, int]:
@@ -222,10 +239,10 @@ def _encode_attribute_batches(state, cfg, anchors_ordered, feat, scaling,
             lo_l, hi_l = int(sym.min()), int(sym.max())
             if lo_l == hi_l:
                 hi_l += 1
-            mu = (np.asarray(mean, np.float64) / q_b).ravel()
-            sg = (np.asarray(scale, np.float64) / q_b).ravel()
-            if mask is not None:
-                mu, sg = mu, sg  # already masked above
+            mu = _quantize_proba(
+                (np.asarray(mean, np.float64) / q_b).ravel())
+            sg = _quantize_proba(
+                (np.asarray(scale, np.float64) / q_b).ravel())
             data = encode_gaussian_symbols(sym, mu, sg, lo_l, hi_l)
             streams[f"{name}_{s}.b"] = data
             return (lo_l, hi_l), len(data) * 8
@@ -291,11 +308,15 @@ def conduct_encoding(state: ModelState, cfg: GaussianConfig,
     bit_info.bit_anchor_gpcc = len(geom) * 8
 
     # 3. attributes in decoder order (quantized anchor positions!)
+    # host-numpy dequantization: XLA may fuse idx*interval+min into an
+    # FMA with backend-dependent rounding; two correctly-rounded numpy
+    # f32 ops are bit-identical everywhere, and the decoder does the
+    # same (cross-backend anchor-position determinism feeds detctx)
     order = keep_idx[sel]
-    anchors_ordered = dequantize_anchor(
-        jnp.asarray(q_np[sel].astype(np.float32)),
-        interval, min_v)
-    anchors_ordered = np.asarray(anchors_ordered, np.float32)
+    interval_np = np.asarray(interval, np.float32)
+    min_np = np.asarray(min_v, np.float32)
+    anchors_ordered = (q_np[sel].astype(np.float32) * interval_np
+                       + min_np).astype(np.float32)
     feat = np.asarray(state.anchors.feat)[order]
     offsets = np.asarray(state.anchors.offset)[order]
     scaling = np.asarray(get_scaling(state.anchors))[order]
@@ -363,12 +384,13 @@ def conduct_decoding(streams: Dict[str, bytes], cfg: GaussianConfig,
 
     nets = decode_mlp_params(streams["mlp.pkl"], template.nets)
 
-    # geometry
+    # geometry (host-numpy dequantization — mirrors the encoder exactly;
+    # see the encode-side comment on FMA rounding)
     q_dec = decode_octree(streams["anchor.drc"], n, ANCHOR_ROUND_DIGITS)
-    anchors_dec = np.asarray(dequantize_anchor(
-        jnp.asarray(q_dec.astype(np.float32)),
-        jnp.asarray(meta.anchor_interval), jnp.asarray(meta.anchor_min)),
-        np.float32)
+    anchors_dec = (q_dec.astype(np.float32)
+                   * np.asarray(meta.anchor_interval, np.float32)
+                   + np.asarray(meta.anchor_min, np.float32)
+                   ).astype(np.float32)
 
     # binary streams
     spec = cfg.grid
@@ -421,8 +443,10 @@ def conduct_decoding(streams: Dict[str, bytes], cfg: GaussianConfig,
         def _dec(name, mean, scale, q, rng, count_shape, mask=None):
             data = streams[f"{name}_{s}.b"]
             q_b = np.broadcast_to(q, count_shape)
-            mu = (np.asarray(mean, np.float64) / q_b).ravel()
-            sg = (np.asarray(scale, np.float64) / q_b).ravel()
+            mu = _quantize_proba(
+                (np.asarray(mean, np.float64) / q_b).ravel())
+            sg = _quantize_proba(
+                (np.asarray(scale, np.float64) / q_b).ravel())
             qv = q_b.ravel()
             if mask is not None:
                 mm = mask.ravel()

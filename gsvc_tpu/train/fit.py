@@ -629,6 +629,11 @@ class GOPFitter:
                  f"(chunked dispatch={'on' if use_multi else 'off'}; a new "
                  f"program shape compiles remotely on first dispatch)")
         it = start + 1
+        # wall-clock attribution per log block (VERDICT r3 item 5: real
+        # fits ran at 1.42 s/iter vs 0.31 s/iter device — this breakdown
+        # tells which host event owns the gap)
+        tacc = {"densify": 0.0, "ckpt": 0.0, "est": 0.0, "eval": 0.0}
+        t_block = time.time()
         while it <= total:
             chunk = self._chunk_len(
                 it, total, log_every, eval_every, checkpoint_iterations,
@@ -641,7 +646,9 @@ class GOPFitter:
 
             # ---- host events at the (chunk-)end iteration ----
             if self.controller.gaussian_adjust_anchor:
+                t_ev = time.time()
                 res = self._densify()
+                tacc["densify"] += time.time() - t_ev
                 self.log(f"iter {it}: densify +{res.n_grown} "
                          f"-{res.n_pruned} -> {res.n_active}")
 
@@ -657,27 +664,40 @@ class GOPFitter:
                     metrics_writer.write(it, **{k: v for k, v in rec.items()
                                                 if k != "iter"})
                 ovf = int(m.overflow)
+                now = time.time()
+                blk = now - t_block
+                steps_t = blk - sum(tacc.values())
                 self.log(f"iter {it}: loss={float(m.loss):.5f} "
                          f"psnr={float(m.psnr):.2f} "
                          f"bpp={float(m.bit_per_param):.4f} "
                          f"anchors={int(self.state.n_active)} "
                          f"overflow={ovf} "
-                         f"({(time.time()-t0):.1f}s)")
+                         f"({(now-t0):.1f}s) "
+                         f"[block {blk:.1f}s: steps={steps_t:.1f} "
+                         f"densify={tacc['densify']:.1f} "
+                         f"ckpt={tacc['ckpt']:.1f} est={tacc['est']:.1f} "
+                         f"eval={tacc['eval']:.1f}]")
+                tacc = {k: 0.0 for k in tacc}
+                t_block = now
                 self._react_to_overflow(ovf, it,
                                         num_rendered=int(m.num_rendered))
 
             if eval_every and it % eval_every == 0:
+                t_ev = time.time()
                 mode = self.controller.render_mode
                 if mode is None:
                     mode = GenerateMode.STE_ENTROPY
                 ev = self.evaluate(mode=mode)
+                tacc["eval"] += time.time() - t_ev
                 self.log(f"iter {it}: eval psnr={ev['psnr']:.2f}")
 
             if checkpoint_dir and it in checkpoint_iterations:
                 from gsvc_tpu.utils.checkpoint import save_checkpoint
 
+                t_ev = time.time()
                 path = f"{checkpoint_dir}/chkpnt{it}.pkl"
                 save_checkpoint(path, self, it)
+                tacc["ckpt"] += time.time() - t_ev
                 self.log(f"iter {it}: checkpoint saved {path}")
 
             # estimated whole-model rate telemetry (the reference logs this
@@ -686,7 +706,9 @@ class GOPFitter:
                     and it % rate_log_every == 0):
                 from gsvc_tpu.codec.estimate import estimate_final_bits
 
+                t_ev = time.time()
                 est = estimate_final_bits(self.state, self.gcfg)
+                tacc["est"] += time.time() - t_ev
                 self.log(
                     f"iter {it}: est bits MB "
                     f"anchor={est.bit_anchor/8/2**20:.3f} "

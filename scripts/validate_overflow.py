@@ -210,6 +210,46 @@ def main():
     print(f"overflowed tile area fraction={frac_area:.4f}; "
           f"tile-local MSE(cap vs full)={mse_extra:.3e}")
 
+    # ---- candidate-cap sweep: how small can gaussian_cap be? ----------
+    # overflow_autogrow grew the flagship to cap=4096, but if per-pixel T
+    # already saturates by a smaller cap the extra capacity only inflates
+    # the [tiles, cap] binning gathers (HBM traffic scales with cap).
+    # Sample tiles across the WHOLE above-cap count distribution (tiles
+    # barely above the cap are the risky ones, not the mega-pileups).
+    print("\n== candidate-cap sweep ==")
+    for cand in (512, 1024, 2048, 4096):
+        over = np.argsort(counts)[::-1]
+        over = over[counts[over] > cand]
+        if len(over) == 0:
+            print(f"cap={cand}: no overflowed tiles")
+            continue
+        stride = max(len(over) // 48, 1)
+        samp = over[::stride][:48]
+        t_b, dmax, dmean, dpsnr = [], [], [], []
+        for tid in samp:
+            ti_y, ti_x = divmod(int(tid), settings.n_tiles_x)
+            py0, px0 = ti_y * th, ti_x * tw
+            ids = gauss_sorted[bounds[tid]:bounds[tid + 1]]
+            img_c, t_map = composite(ids, cand)
+            img_f, _ = composite(ids, len(ids))
+            t_b.append(float(t_map.max()))
+            d = np.abs(img_c - img_f)
+            dmax.append(float(d.max()))
+            dmean.append(float(d.mean()))
+            if gt is not None and py0 + th <= h and px0 + tw <= w:
+                g_tile = gt[py0:py0 + th, px0:px0 + tw, :3]
+                mse_c = np.mean((img_c - g_tile) ** 2)
+                mse_f = np.mean((img_f - g_tile) ** 2)
+                dpsnr.append(-10 * np.log10(max(mse_f, 1e-10))
+                             + 10 * np.log10(max(mse_c, 1e-10)))
+        n_over_c = len(over)
+        drop_c = int(np.maximum(counts - cand, 0).sum())
+        print(f"cap={cand}: tiles_over={n_over_c} dropped={drop_c} "
+              f"worst_T_at_cap={max(t_b):.3e} "
+              f"delta_max={max(dmax):.3e} delta_mean={np.mean(dmean):.3e} "
+              f"psnr_delta={np.mean(dpsnr) if dpsnr else float('nan'):+.3f} dB "
+              f"(n={len(samp)} sampled)")
+
 
 if __name__ == "__main__":
     main()
