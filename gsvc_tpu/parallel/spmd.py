@@ -281,6 +281,8 @@ def make_spmd_train_step(cfg: GaussianConfig, settings: RasterSettings,
                 sum(r.num_rendered for r in renders), "sp"),
             overflow=jax.lax.psum(
                 sum(r.overflow for r in renders), "sp"),
+            harmful_overflow=jax.lax.psum(
+                sum(r.harmful_overflow for r in renders), "sp"),
             active_gaussians=jax.lax.psum(
                 sum(jnp.sum(r.visibility_filter) for r in renders), "sp"),
             mask_ratio=jax.lax.pmean(

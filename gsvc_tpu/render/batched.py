@@ -109,7 +109,8 @@ def _frame_views(gss: GeneratedGaussians, frame_z, x_min, y_min, scale,
                              frame_z, x_min, y_min, scale, settings,
                              flip=False)
     opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
-    tile_lists, counts, overflow, n_rendered = _bin_gaussians(proj, settings)
+    tile_lists, counts, dropped, overflow, n_rendered = _bin_gaussians(
+        proj, settings)
     attr_base = attr_rows_from_proj(proj, opacity, gss.color)
     attr_fwd = attr_base
     if m2d_fwd is not None:
@@ -122,6 +123,8 @@ def _frame_views(gss: GeneratedGaussians, frame_z, x_min, y_min, scale,
         lists_b, counts_b = flip_tile_lists(tile_lists, counts, settings)
         attr_b = flip_attr_rows(attr_base, settings, m2d_flip)
         planes_b = gather_tile_planes_rows(attr_b, lists_b)
+        # the flip view drops the SAME copies, in mirrored tile order
+        dropped_b = dropped[jnp.asarray(_mirror_tile_perm(settings))]
     else:
         # image width not tile-aligned: mirror is inexact -> bin the flip
         # view independently (second sort, still one composite launch)
@@ -129,11 +132,13 @@ def _frame_views(gss: GeneratedGaussians, frame_z, x_min, y_min, scale,
                                    frame_z, x_min, y_min, scale, settings,
                                    flip=True, means2d=m2d_flip)
         opacity_b = jnp.where(proj_b.valid[:, None], gss.opacity, 0.0)
-        lists_b, counts_b, ovf_b, _ = _bin_gaussians(proj_b, settings)
+        lists_b, counts_b, dropped_b, ovf_b, _ = _bin_gaussians(
+            proj_b, settings)
         planes_b = gather_tile_planes_rows(
             attr_rows_from_proj(proj_b, opacity_b, gss.color), lists_b)
         overflow = overflow + ovf_b
-    return planes_f, counts, planes_b, counts_b, proj, overflow, n_rendered
+    return (planes_f, counts, planes_b, counts_b, proj, overflow,
+            n_rendered, dropped, dropped_b)
 
 
 def _composite_concat(settings, planes_all, counts_all, rasterizer: str,
@@ -180,13 +185,13 @@ def render_frame_views(state: ModelState, cfg: GaussianConfig, frame_z,
                                  frame_z, x_min, y_min, scale, settings,
                                  flip=False)
         opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
-        tile_lists, counts, ovf, nrend = _bin_gaussians(proj, settings)
+        tile_lists, counts, _, ovf, nrend = _bin_gaussians(proj, settings)
         attrs = attr_rows_from_proj(proj, opacity, gss.color)
         out4 = mirror_composite_attrs(
             settings, attrs[None], tile_lists[None], counts[None], None)
         images, ts = assemble_views(settings, out4)
     else:
-        pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
+        pf, cf, pb, cb_, proj, ovf, nrend, _, _ = _frame_views(
             gss, frame_z, x_min, y_min, scale, settings, None, None)
         planes_all = tuple(jnp.concatenate([pf[i], pb[i]], axis=0)
                            for i in range(9))
@@ -304,21 +309,24 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
 
         per_frame = []
         attrs_l, lists_l, counts_l = [], [], []
+        mperm = jnp.asarray(_mirror_tile_perm(settings))
         for fi, (gss, start, in_window, proj) in enumerate(gens):
-            tile_lists, counts, ovf_f, nrend_f = _bin_gaussians(
+            tile_lists, counts, dropped, ovf_f, nrend_f = _bin_gaussians(
                 proj, settings)
             opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
             attrs_l.append(attr_rows_from_proj(proj, opacity, gss.color))
             lists_l.append(tile_lists)
             counts_l.append(counts)
-            per_frame.append((gss, start, in_window, proj, ovf_f, nrend_f))
+            per_frame.append((gss, start, in_window, proj, ovf_f, nrend_f,
+                              dropped, dropped[mperm]))
         out4 = mirror_composite_attrs(
             settings, jnp.stack(attrs_l), jnp.stack(lists_l),
             jnp.stack(counts_l), means2d)
         images, ts = assemble_views(settings, out4)
         frames = [(gss, start, in_window, None, None, None, None, proj,
-                   ovf_f, nrend_f)
-                  for (gss, start, in_window, proj, ovf_f, nrend_f)
+                   ovf_f, nrend_f, dr_f, dr_b)
+                  for (gss, start, in_window, proj, ovf_f, nrend_f,
+                       dr_f, dr_b)
                   in per_frame]
     else:
         if can_mirror(settings):
@@ -327,9 +335,10 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
             # it/s) — XLA's batched sort lowering loses to two
             # sequential sorts here
             frames = []
+            mperm = jnp.asarray(_mirror_tile_perm(settings))
             for fi, (gss, start, in_window, proj) in enumerate(gens):
-                tile_lists, counts, ovf_f, nrend_f = _bin_gaussians(
-                    proj, settings)
+                tile_lists, counts, dropped, ovf_f, nrend_f = \
+                    _bin_gaussians(proj, settings)
                 opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
                 attr_base = attr_rows_from_proj(proj, opacity, gss.color)
                 m2d_fwd, m2d_flip = m2(2 * fi), m2(2 * fi + 1)
@@ -345,16 +354,18 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
                 attr_b = flip_attr_rows(attr_base, settings, m2d_flip)
                 pb = gather_tile_planes_rows(attr_b, lists_b)
                 frames.append((gss, start, in_window, pf, counts, pb,
-                               counts_b, proj, ovf_f, nrend_f))
+                               counts_b, proj, ovf_f, nrend_f,
+                               dropped, dropped[mperm]))
         else:
             frames = []
             for fi, (gss, start, in_window, _) in enumerate(gens):
                 z = (z1, z2)[fi]
-                pf, cf, pb, cb_, proj, ovf, nrend = _frame_views(
+                (pf, cf, pb, cb_, proj, ovf, nrend, dr_f,
+                 dr_b) = _frame_views(
                     gss, z, x_min, y_min, scale, settings, m2(2 * fi),
                     m2(2 * fi + 1))
                 frames.append((gss, start, in_window, pf, cf, pb, cb_,
-                               proj, ovf, nrend))
+                               proj, ovf, nrend, dr_f, dr_b))
 
         planes_all = tuple(
             jnp.concatenate([frames[0][3][i], frames[0][5][i],
@@ -366,9 +377,13 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
         images, ts = _composite_concat(settings, planes_all, counts_all,
                                        rasterizer, inference=False)
 
+    from gsvc_tpu.render.splat import tile_harmful_overflow
+
     renders = []
     for fi, vi in ((0, 0), (0, 1), (1, 2), (1, 3)):
-        gss, start, in_window, _, _, _, _, proj, ovf, nrend = frames[fi]
+        (gss, start, in_window, _, _, _, _, proj, ovf, nrend,
+         dr_f, dr_b) = frames[fi]
+        dropped_v = dr_f if vi % 2 == 0 else dr_b
         renders.append(RenderResults(
             image=images[vi],
             transmittance=ts[vi],
@@ -381,6 +396,8 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
             scaling=gss.scaling,
             num_rendered=nrend,
             overflow=ovf,
+            harmful_overflow=tile_harmful_overflow(settings, ts[vi],
+                                                   dropped_v),
             rate=gss.rate,
             gaussians=gss,
         ))

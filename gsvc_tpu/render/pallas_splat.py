@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from gsvc_tpu.render.splat import (
     ALPHA_MAX, ALPHA_MIN, T_EPS, RasterOutput, RasterSettings,
     _bin_gaussians, assemble_views, gather_tile_planes, project_gaussians,
+    tile_harmful_overflow,
 )
 
 
@@ -1019,7 +1020,7 @@ def rasterize_pallas_train(xyz, color, opacity, scaling, rot, valid,
                              y_min, scale, settings, flip=flip,
                              means2d=means2d)
     opacity = jnp.where(proj.valid[:, None], opacity, 0.0)
-    tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
+    tile_lists, tile_counts, dropped, overflow, n_rendered = _bin_gaussians(
         proj, settings)
     planes = gather_tile_planes(proj, opacity, color, tile_lists)
 
@@ -1027,7 +1028,9 @@ def rasterize_pallas_train(xyz, color, opacity, scaling, rot, valid,
     imgs, ts = assemble_views(settings, out4)
     return RasterOutput(image=imgs[0], transmittance=ts[0],
                         radii=proj.radius, num_rendered=n_rendered,
-                        overflow=overflow)
+                        overflow=overflow,
+                        harmful_overflow=tile_harmful_overflow(
+                            settings, ts[0], dropped))
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "flip"))
@@ -1042,7 +1045,7 @@ def rasterize_pallas(xyz, color, opacity, scaling, rot, valid,
     proj = project_gaussians(xyz, scaling, rot, valid, frame_z, x_min,
                              y_min, scale, settings, flip=flip)
     opacity = jnp.where(proj.valid[:, None], opacity, 0.0)
-    tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
+    tile_lists, tile_counts, dropped, overflow, n_rendered = _bin_gaussians(
         proj, settings)
     planes = gather_tile_planes(proj, opacity, color, tile_lists)
 
@@ -1050,4 +1053,6 @@ def rasterize_pallas(xyz, color, opacity, scaling, rot, valid,
     imgs, ts = assemble_views(settings, out4)
     return RasterOutput(image=imgs[0], transmittance=ts[0],
                         radii=proj.radius, num_rendered=n_rendered,
-                        overflow=overflow)
+                        overflow=overflow,
+                        harmful_overflow=tile_harmful_overflow(
+                            settings, ts[0], dropped))

@@ -37,6 +37,11 @@ class RenderResults(NamedTuple):
     overflow: jnp.ndarray
     rate: RatePack
     gaussians: GeneratedGaussians
+    # dropped pairs at tiles whose final T >= 1/255 — visible loss; the
+    # capacity-growth policy reacts to this, raw overflow is telemetry
+    # (plain-int default: an eager jnp constant here would touch the
+    # backend at import time)
+    harmful_overflow: jnp.ndarray = 0
 
 
 def make_raster_settings(cfg: GaussianConfig, image_height: int,
@@ -124,6 +129,7 @@ def render_frame(
         scaling=gss.scaling,
         num_rendered=out.num_rendered,
         overflow=out.overflow,
+        harmful_overflow=out.harmful_overflow,
         rate=gss.rate,
         gaussians=gss,
     )

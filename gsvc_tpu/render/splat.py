@@ -353,10 +353,43 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     gather_idx = jnp.clip(gather_idx, 0, src_len - 1)
     tile_lists = jnp.where(in_range, gauss_sorted[gather_idx], -1)
 
-    overflow = (jnp.maximum(tile_count - cap, 0).sum() + coverage_clipped
-                + budget_dropped)
+    dropped = jnp.maximum(tile_count - cap, 0)
+    overflow = dropped.sum() + coverage_clipped + budget_dropped
     total_copies = jnp.minimum(tile_count, cap).sum()
-    return tile_lists, jnp.minimum(tile_count, cap), overflow, total_copies
+    return (tile_lists, jnp.minimum(tile_count, cap), dropped, overflow,
+            total_copies)
+
+
+# Post-composite transmittance above which a dropped (deepest) copy could
+# still have contributed a visible (>= 1/255) pixel change.
+HARMFUL_T_EPS = 1.0 / 255.0
+
+
+def tile_harmful_overflow(settings: "RasterSettings", transmittance,
+                          dropped):
+    """Dropped copies at tiles whose compositing had NOT saturated.
+
+    ``overflow`` alone overstates the damage: at mega-pileup tiles the
+    per-pixel transmittance hits ~e^-16 long before the capacity cap and
+    the dropped tail is invisible.  But a tile that overflowed while its
+    final T is still >= 1/255 somewhere genuinely lost content
+    (empirically up to +0.6 dB per tile at cap 4096 on the flagship —
+    scripts/validate_overflow.py cap sweep).  Capacity growth should
+    react to THIS number; raw overflow is telemetry.
+
+    transmittance: [H, W] final per-pixel T.  dropped: [n_tiles].
+    Returns a scalar count of harmful dropped copies."""
+    th, tw = settings.tile_h, settings.tile_w
+    h_pad = settings.n_tiles_y * th - settings.image_height
+    w_pad = settings.n_tiles_x * tw - settings.image_width
+    t = transmittance
+    if h_pad or w_pad:
+        # padding pixels don't exist: T=0 there (saturated = harmless)
+        t = jnp.pad(t, ((0, h_pad), (0, w_pad)))
+    t_tile = t.reshape(settings.n_tiles_y, th,
+                       settings.n_tiles_x, tw).max(axis=(1, 3))
+    unsat = (t_tile.reshape(-1) >= HARMFUL_T_EPS)
+    return jnp.sum(jnp.where(unsat, dropped, 0))
 
 
 # ---------------------------------------------------------------------------
@@ -513,6 +546,8 @@ class RasterOutput(NamedTuple):
     radii: jnp.ndarray        # [M] pixel radii (0 = culled)
     num_rendered: jnp.ndarray # scalar: total tile-gaussian pairs composited
     overflow: jnp.ndarray     # scalar: pairs dropped by per-tile capacity
+    harmful_overflow: jnp.ndarray  # scalar: dropped pairs at UNSATURATED
+                              # tiles (final T >= 1/255) — visible loss
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "flip"))
@@ -531,14 +566,16 @@ def rasterize(xyz, color, opacity, scaling, rot, valid,
                              scale, settings, flip=flip, means2d=means2d)
     opacity = jnp.where(proj.valid[:, None], opacity, 0.0)
 
-    tile_lists, tile_counts, overflow, n_rendered = _bin_gaussians(
+    tile_lists, tile_counts, dropped, overflow, n_rendered = _bin_gaussians(
         proj, settings)
     planes = gather_tile_planes(proj, opacity, color, tile_lists)
     out4 = composite_tiles_jnp(settings, planes, tile_counts)
     imgs, ts = assemble_views(settings, out4)
     return RasterOutput(image=imgs[0], transmittance=ts[0],
                         radii=proj.radius,
-                        num_rendered=n_rendered, overflow=overflow)
+                        num_rendered=n_rendered, overflow=overflow,
+                        harmful_overflow=tile_harmful_overflow(
+                            settings, ts[0], dropped))
 
 
 # ---------------------------------------------------------------------------

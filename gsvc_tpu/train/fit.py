@@ -444,16 +444,27 @@ class GOPFitter:
 
     def _react_to_overflow(self, overflow: int, it: int,
                            strikes_to_act: int = 2,
-                           num_rendered: int = -1):
+                           num_rendered: int = -1,
+                           harmful: int = -1):
         """Tile-capacity overflow drops gaussians from the render
-        (splat.py:_bin_gaussians).  Persistent nonzero overflow means the
-        raster capacities are undersized for the scene: grow them and
-        re-jit (padded-capacity epochs, SURVEY.md §7) instead of silently
-        rendering wrong.  Symmetrically, once scaling_reg has shrunk the
-        gaussians a previously grown cap wastes compositing work forever
-        — shrink it back when tiles run persistently near-empty."""
-        if overflow <= 0:
+        (splat.py:_bin_gaussians).  Growth reacts to HARMFUL overflow
+        (drops at tiles whose final transmittance is still >= 1/255 —
+        splat.tile_harmful_overflow): drops behind saturated pixels are
+        invisible, and growing gaussian_cap for them multiplies the
+        [tiles, cap] binning/gather HBM traffic for nothing (the
+        round-3 flagship sat at cap 4096 with 1-3M harmless drops/step).
+        ``harmful < 0`` = metric unavailable (old checkpoints); falls
+        back to treating all overflow as potentially harmful.
+        Symmetrically, once scaling_reg has shrunk the gaussians a
+        previously grown cap wastes compositing work forever — shrink it
+        back when tiles run persistently near-empty."""
+        effective = overflow if harmful < 0 else harmful
+        if effective <= 0:
             self._overflow_strikes = 0
+            if overflow > 0 and it % 1000 == 0:
+                self.log(f"iter {it}: overflow={overflow} all at "
+                         f"saturated tiles (harmful=0) — no quality "
+                         f"impact, capacities unchanged")
             s = self.settings
             base_cap = self.cfg.pipeline.visible_capacity or 1024
             base_tpg = 32
@@ -510,16 +521,17 @@ class GOPFitter:
                    if s.copy_budget_factor else 0)
         if (new_cap == s.gaussian_cap and new_tpg == s.tiles_per_gaussian
                 and new_cbf == s.copy_budget_factor):
-            # at gaussian_cap >= 4096 the depth-ordered drops are invisible:
-            # every composited alpha is >= 1/255, so transmittance after
-            # 4096 rows is < e^-16 and dropped back rows contribute nothing
-            # to the image or its gradients (NOTES_ROUND3.md)
-            harmless = s.gaussian_cap >= 4096
-            self.log(f"iter {it}: render overflow={overflow} persists at "
-                     f"max capacities (gaussian_cap={s.gaussian_cap}); "
-                     + ("dropped rows are saturated-transmittance tails "
-                        "(T < e^-16) — no quality impact" if harmless else
-                        "WARNING output quality may be degraded"))
+            # capacities already at max and drops are still HARMFUL
+            # (reaching here means effective > 0 — with the harmful
+            # metric wired this is measured, not derived; the round-3
+            # "T < e^-16 => harmless" claim was empirically false for
+            # tiles barely above the cap: validate_overflow.py cap sweep
+            # found +0.6 dB tile loss at cap 4096)
+            self.log(f"iter {it}: WARNING render overflow={overflow} "
+                     f"(harmful={harmful if harmful >= 0 else 'n/a'}) "
+                     f"persists at max capacities "
+                     f"(gaussian_cap={s.gaussian_cap}); output quality "
+                     f"may be degraded at the affected tiles")
             self._overflow_strikes = 0
             return False
         import dataclasses
@@ -528,7 +540,8 @@ class GOPFitter:
             copy_budget_factor=new_cbf)
         self._build_step()
         self._overflow_strikes = 0
-        self.log(f"iter {it}: WARNING render overflow={overflow}; growing "
+        self.log(f"iter {it}: WARNING render overflow={overflow} "
+                 f"(harmful={harmful if harmful >= 0 else 'n/a'}); growing "
                  f"gaussian_cap {s.gaussian_cap}->{new_cap}, "
                  f"tiles_per_gaussian {s.tiles_per_gaussian}->{new_tpg}"
                  + (f", copy_budget_factor {s.copy_budget_factor}->"
@@ -672,6 +685,7 @@ class GOPFitter:
                          f"bpp={float(m.bit_per_param):.4f} "
                          f"anchors={int(self.state.n_active)} "
                          f"overflow={ovf} "
+                         f"harmful={int(getattr(m, 'harmful_overflow', -1))} "
                          f"({(now-t0):.1f}s) "
                          f"[block {blk:.1f}s: steps={steps_t:.1f} "
                          f"densify={tacc['densify']:.1f} "
@@ -679,8 +693,9 @@ class GOPFitter:
                          f"eval={tacc['eval']:.1f}]")
                 tacc = {k: 0.0 for k in tacc}
                 t_block = now
-                self._react_to_overflow(ovf, it,
-                                        num_rendered=int(m.num_rendered))
+                self._react_to_overflow(
+                    ovf, it, num_rendered=int(m.num_rendered),
+                    harmful=int(getattr(m, "harmful_overflow", -1)))
 
             if eval_every and it % eval_every == 0:
                 t_ev = time.time()

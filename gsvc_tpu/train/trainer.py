@@ -62,6 +62,9 @@ class StepMetrics(NamedTuple):
     overflow: jnp.ndarray
     active_gaussians: jnp.ndarray
     mask_ratio: jnp.ndarray
+    # dropped pairs at unsaturated tiles (splat.tile_harmful_overflow);
+    # drives capacity growth — raw overflow is telemetry only
+    harmful_overflow: jnp.ndarray = 0
 
 
 def _masked_mean(x, mask):
@@ -221,6 +224,7 @@ def make_pair_loss(cfg: GaussianConfig, settings: RasterSettings,
             mask_ratio=sum(jnp.mean(
                 r.selection_mask.astype(jnp.float32)) for r in renders)
             / 4.0,
+            harmful_overflow=sum(r.harmful_overflow for r in renders),
         )
 
     return _loss

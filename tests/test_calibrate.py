@@ -4,6 +4,9 @@ import numpy as np
 
 from gsvc_tpu.config import OptimizationConfig
 from gsvc_tpu.train.calibrate import (
+import pytest
+
+pytestmark = pytest.mark.slow
     calibrate_densify_threshold, candidate_fraction,
 )
 

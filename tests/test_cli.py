@@ -16,8 +16,9 @@ import yaml
 from gsvc_tpu.codec import native_available
 from tests.test_train import synthetic_video
 
-pytestmark = pytest.mark.skipif(not native_available(),
-                                reason="native codec unavailable")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(not native_available(),
+                                 reason="native codec unavailable")]
 
 
 @pytest.fixture(scope="module")

@@ -35,8 +35,10 @@ def test_tile_lists_identical_within_budget(m, seed):
                                   np.asarray(compact[0]))
     np.testing.assert_array_equal(np.asarray(legacy[1]),
                                   np.asarray(compact[1]))
-    assert int(legacy[2]) == int(compact[2])       # overflow
-    assert int(legacy[3]) == int(compact[3])       # total copies
+    np.testing.assert_array_equal(np.asarray(legacy[2]),
+                                  np.asarray(compact[2]))  # dropped/tile
+    assert int(legacy[3]) == int(compact[3])       # overflow
+    assert int(legacy[4]) == int(compact[4])       # total copies
 
 
 def test_invalid_gaussians_excluded():
@@ -62,8 +64,8 @@ def test_budget_overflow_diagnosed_and_prefix_kept():
     # per-tile cap large enough to never bind: isolates budget drops
     big = dataclasses.replace(SETTINGS, gaussian_cap=512)
     s1 = dataclasses.replace(big, copy_budget_factor=1)
-    lists1, counts1, ovf1, _ = _bin_with(args, s1)
-    ll, lc, lovf, ltotal = _bin_with(args, big)
+    lists1, counts1, _, ovf1, _ = _bin_with(args, s1)
+    ll, lc, _, lovf, ltotal = _bin_with(args, big)
     assert int(lovf) == 0, "cap must not bind in this scene"
     # the scene must actually overflow the 1x budget for the test to bite
     assert int(ltotal) > 120
@@ -101,4 +103,4 @@ def test_factor_at_tmax_falls_back_to_legacy():
     fallback = _bin_with(args, s)
     np.testing.assert_array_equal(np.asarray(legacy[0]),
                                   np.asarray(fallback[0]))
-    assert int(legacy[2]) == int(fallback[2])
+    assert int(legacy[3]) == int(fallback[3])

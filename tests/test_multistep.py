@@ -11,6 +11,9 @@ import numpy as np
 from gsvc_tpu.framecube import FrameCubeDataset
 from gsvc_tpu.train.fit import GOPFitter
 from tests.test_train import small_config, synthetic_video
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def _fit(steps_per_dispatch, iterations=40, entropy=False):

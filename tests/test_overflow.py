@@ -76,3 +76,51 @@ def test_cap_shrinks_when_tiles_underfilled():
         fitter2._react_to_overflow(
             0, it=i, num_rendered=200 * fitter2.settings.n_tiles * 4)
     assert fitter2.settings.gaussian_cap == cap0
+
+
+def test_tile_harmful_overflow_metric():
+    """Drops at saturated tiles (final T ~ 0) are harmless; drops at
+    tiles with visible transmittance count fully."""
+    import jax.numpy as jnp
+
+    from gsvc_tpu.render.splat import RasterSettings, tile_harmful_overflow
+
+    s = RasterSettings(image_height=16, image_width=32, threshold=0.15,
+                       tile_h=8, tile_w=16, gaussian_cap=8, chunk=8,
+                       tiles_per_gaussian=4)
+    assert s.n_tiles == 4
+    t_map = jnp.zeros((16, 32), jnp.float32)
+    # tile 1 (row 0, col 1) unsaturated at one pixel; tile 3 saturated
+    t_map = t_map.at[3, 20].set(0.5)
+    dropped = jnp.asarray([0, 7, 0, 9], jnp.int32)
+    harmful = int(tile_harmful_overflow(s, t_map, dropped))
+    assert harmful == 7  # tile 3's 9 drops are behind saturated pixels
+
+    # non-tile-aligned image: padding pixels must count as saturated
+    s2 = RasterSettings(image_height=13, image_width=30, threshold=0.15,
+                        tile_h=8, tile_w=16, gaussian_cap=8, chunk=8,
+                        tiles_per_gaussian=4)
+    t2 = jnp.ones((13, 30), jnp.float32) * 1e-6  # all saturated
+    d2 = jnp.asarray([5, 5, 5, 5], jnp.int32)
+    assert int(tile_harmful_overflow(s2, t2, d2)) == 0
+
+
+def test_harmless_overflow_does_not_grow_capacity():
+    from tests.test_train import small_config
+
+    cfg = small_config(iterations=2)
+    ds = FrameCubeDataset(images=synthetic_video(t=4))
+    fitter = GOPFitter(cfg, ds, seed=0)
+    cap0 = fitter.settings.gaussian_cap
+    # persistent raw overflow, zero harmful: capacities must not move
+    for i in range(4):
+        acted = fitter._react_to_overflow(10_000, it=i, harmful=0)
+        assert not acted
+    assert fitter.settings.gaussian_cap == cap0
+
+    # harmful overflow drives growth exactly like raw overflow used to
+    acted_any = False
+    for i in range(3):
+        acted_any |= fitter._react_to_overflow(10_000, it=i, harmful=123)
+    assert acted_any
+    assert fitter.settings.gaussian_cap > cap0

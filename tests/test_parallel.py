@@ -25,8 +25,9 @@ from gsvc_tpu.train.schedules import build_schedules
 from gsvc_tpu.train.trainer import init_stats
 from tests.test_model import make_state
 
-pytestmark = pytest.mark.skipif(len(jax.devices()) < 8,
-                                reason="needs 8 virtual devices")
+pytestmark = [pytest.mark.slow,
+              pytest.mark.skipif(len(jax.devices()) < 8,
+                                 reason="needs 8 virtual devices")]
 
 
 GEOM = dict(x_min=-0.6, y_min=-0.45, scale=26.0)

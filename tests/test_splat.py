@@ -164,7 +164,7 @@ def test_quantized_rank_binning_depth_ordered():
         depth=jnp.asarray(depth),
         radius=jnp.full((m,), 3.0, jnp.float32),
         valid=jnp.ones((m,), bool))
-    lists, counts, overflow, total = jax.jit(
+    lists, counts, _, overflow, total = jax.jit(
         lambda p: _bin_gaussians(p, s))(proj)
     lists = np.asarray(lists)
     counts = np.asarray(counts)

@@ -11,6 +11,9 @@ from jax.sharding import PartitionSpec as P
 from gsvc_tpu.config import ModelConfig
 from gsvc_tpu.models.gaussians import GaussianConfig, calc_interp_feat, init_model
 from gsvc_tpu.parallel.spmd import make_mesh
+import pytest
+
+pytestmark = pytest.mark.slow
 
 
 def test_lanegather_inside_shard_map_matches_xla():

@@ -133,6 +133,7 @@ def test_window_cap_shrinks_after_heavy_prune():
     assert np.isfinite(report.loss)
 
 
+@pytest.mark.slow
 def test_entropy_phase_smoke():
     """Three iterations in ENTROPY mode: rate terms finite, loss finite."""
     frames = synthetic_video(t=4)
