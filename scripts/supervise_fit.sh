@@ -42,6 +42,16 @@ launch() {
 
 mkdir -p "$DIR"
 touch "$DIR/output.log"
+# one-shot pre-fit hook: lets a builder session borrow the (otherwise
+# back-to-back busy) TPU between lambda runs for bench/profile work.
+# The hook file is consumed (renamed) so it runs at most once.
+if [ -f /root/repo/scripts/prefit_hook.sh ]; then
+  mv /root/repo/scripts/prefit_hook.sh /tmp/prefit_hook_running.sh
+  echo "[supervise] $(date -u +%H:%M:%S) running pre-fit hook" >> "$SEQLOG"
+  timeout 2400 bash /tmp/prefit_hook_running.sh >> /tmp/prefit_hook.log 2>&1
+  echo "[supervise] $(date -u +%H:%M:%S) pre-fit hook done rc=$?" \
+    >> "$SEQLOG"
+fi
 launch
 while true; do
   sleep 60
