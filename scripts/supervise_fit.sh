@@ -26,16 +26,29 @@ launch() {
     echo "[supervise] $(date -u +%H:%M:%S) $DIR resume from $newest" \
       >> "$SEQLOG"
   fi
-  python -m gsvc_tpu.cli.train \
+  # launch from a snapshot of the package: a supervisor relaunch that
+  # races an in-progress builder edit must not import a half-edited
+  # tree (05:33 crash: TypeError on a partially-landed field).  `python
+  # -m` puts the CWD first on sys.path, so the snapshot only wins if we
+  # ALSO cd out of /root/repo — hence the absolute paths.
+  local dir_abs cfg_abs
+  dir_abs=$(readlink -f "$DIR")
+  mkdir -p /root/.fitsnap
+  rsync -a --delete /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/ \
+    2>/dev/null || { rm -rf /root/.fitsnap/gsvc_tpu /root/.fitsnap/cfgs;
+    cp -r /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/; }
+  cfg_abs=/root/.fitsnap/cfgs/cfg_20240919_8k.yaml
+  ( cd /root/.fitsnap && \
+    exec env PYTHONPATH=/root/.fitsnap python -m gsvc_tpu.cli.train \
     --source_path /root/data/gop600/frames \
     --optical_path /root/data/gop600/flow \
-    --model_path "$DIR" \
-    --config_path cfgs/cfg_20240919_8k.yaml \
+    --model_path "$dir_abs" \
+    --config_path "$cfg_abs" \
     --lmbda "$LM" \
     --checkpoint_iterations 1000 2000 2500 3000 3500 4000 4500 5000 \
                             5500 6000 6500 7000 7500 \
     --lpips_weights proxy --seed 0 "${resume[@]}" \
-    >> "$DIR/output.log" 2>&1 &
+    >> "$dir_abs/output.log" 2>&1 ) &
   FIT_PID=$!
   echo "$FIT_PID" > /tmp/fit_current.pid
 }
