@@ -66,13 +66,22 @@ def main():
     flows = jnp.zeros((1, 2, H, W), jnp.float32)
     K = 25                              # the flagship steps_per_dispatch
 
-    configs = [
-        {"gaussian_cap": 4096, "tiles_per_gaussian": 128},  # r3 flagship
-        {"gaussian_cap": 1024, "tiles_per_gaussian": 32},   # base
-        {"gaussian_cap": 2048, "tiles_per_gaussian": 64},
+    # (config, modes) ordered by decision value: the r3-flagship shape
+    # and the base shape first (both phases), then the compacted
+    # copy-stream variants (the binning sort is the dominant
+    # non-compositing cost; copy_budget_factor cuts its key count by
+    # tiles_per_gaussian / factor)
+    FP, STE = GenerateMode.FULL_PRECISION, GenerateMode.STE_ENTROPY
+    plan = [
+        ({"gaussian_cap": 4096, "tiles_per_gaussian": 128}, (FP, STE)),
+        ({"gaussian_cap": 1024, "tiles_per_gaussian": 32}, (FP, STE)),
+        ({"gaussian_cap": 1024, "tiles_per_gaussian": 32,
+          "copy_budget_factor": 8}, (FP,)),
+        ({"gaussian_cap": 4096, "tiles_per_gaussian": 128,
+          "copy_budget_factor": 16}, (FP,)),
     ]
-    for mode in (GenerateMode.FULL_PRECISION, GenerateMode.STE_ENTROPY):
-        for cc in configs:
+    for cc, modes in plan:
+        for mode in modes:
             settings = make_raster_settings(
                 cfg, H, W, tile_h=8, tile_w=128, chunk=128, **cc)
             step = make_train_multi_step(
