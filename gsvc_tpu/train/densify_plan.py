@@ -43,6 +43,19 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _rows_in(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Vectorized 'row of a is a row of b' for int grids (exact — no
+    hashing).  Replaces the per-depth ``set(map(tuple, ...))`` +
+    Python-loop membership test, which cost O(n) tuple boxing over up
+    to ~100k anchors per depth."""
+    if b.shape[0] == 0:
+        return np.zeros(a.shape[0], bool)
+    dt = [("", a.dtype)] * a.shape[1]
+    av = np.ascontiguousarray(a).view(dt).ravel()
+    bv = np.ascontiguousarray(b).view(dt).ravel()
+    return np.isin(av, bv)
+
+
 @dataclass
 class DensifyPlan:
     """Everything the device apply program needs, plus host-side results.
@@ -132,9 +145,7 @@ def build_plan(
         sel_grid = np.round(sel_xyz / cur_size).astype(np.int64)
         uniq_grid, inverse = np.unique(sel_grid, axis=0, return_inverse=True)
 
-        existing_set = set(map(tuple, grid_existing))
-        keep = np.array([tuple(g) not in existing_set for g in uniq_grid],
-                        bool)
+        keep = ~_rows_in(uniq_grid, grid_existing)
         if not keep.any():
             continue
 

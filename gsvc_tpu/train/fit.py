@@ -410,12 +410,26 @@ class GOPFitter:
             self._threshold_calibrated = True
 
         offsets_flat = self.state.anchors.offset.reshape(-1, 3)
+
+        def fetch_offsets(idx):
+            # PAD the gather index to a quantum: a raw variable-length
+            # take would compile a fresh remote program every densify
+            # epoch (candidate count changes each time) — measured as
+            # the bulk of the ~20 s/epoch densify overhead.  Bounded
+            # shapes hit the compile cache after the first epoch.
+            idx = np.asarray(idx, np.int64)
+            pad_n = max(65_536, _round_up(max(idx.size, 1), 65_536))
+            idxp = np.zeros(pad_n, np.int32)
+            idxp[:idx.size] = idx
+            out = np.asarray(jnp.take(offsets_flat, jnp.asarray(idxp),
+                                      axis=0))
+            return out[:idx.size]
+
         plan = build_plan(
             anchor=np.asarray(self.state.anchors.anchor[:n]),
             scaling=np.asarray(self.state.anchors.scaling[:n]),
             stats=stats,
-            fetch_offsets=lambda idx: np.asarray(
-                jnp.take(offsets_flat, jnp.asarray(idx, jnp.int32), axis=0)),
+            fetch_offsets=fetch_offsets,
             mc=self.cfg.model, opt=opt, voxel_size=self.voxel_size,
             rng=self.rng, capacity=self.capacity)
 
