@@ -2,13 +2,14 @@
 
 import numpy as np
 
-from gsvc_tpu.config import OptimizationConfig
-from gsvc_tpu.train.calibrate import (
 import pytest
 
-pytestmark = pytest.mark.slow
+from gsvc_tpu.config import OptimizationConfig
+from gsvc_tpu.train.calibrate import (
     calibrate_densify_threshold, candidate_fraction,
 )
+
+pytestmark = pytest.mark.slow
 
 
 def _stats(n=4000, seed=0, interval=100):
