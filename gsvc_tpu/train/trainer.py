@@ -72,9 +72,17 @@ def _masked_mean(x, mask):
 
 
 def gt_f32(x):
-    """Ground-truth frames/flows may arrive uint8 / bfloat16 (the HBM-
-    resident GOP store — fit.py keeps 600x1080p frames on device only in
-    compact dtypes); cast to f32 inside the jitted step."""
+    """Ground-truth frames/flows may arrive uint8 / bfloat16 / int8+scale
+    (the HBM-resident GOP store — fit.py keeps 600x1080p frames on device
+    only in compact dtypes); cast to f32 inside the jitted step.
+
+    A ``(int8_array, f32_scale)`` tuple is a per-frame-scaled flow plane
+    (fit.py stores the 599-frame flow stack as int8 — 2.5 GB HBM saved
+    vs bfloat16 at ~0.1 px quantization error, below flow-estimator
+    noise)."""
+    if isinstance(x, tuple):
+        arr, s = x
+        return arr.astype(jnp.float32) * s
     if x.dtype == jnp.uint8:
         return x.astype(jnp.float32) / 255.0
     return x.astype(jnp.float32)
@@ -364,7 +372,8 @@ def make_train_multi_step(cfg: GaussianConfig, settings: RasterSettings,
             k_, sk = jax.random.split(k_)
             gt1 = images[f1]
             gt2 = images[f2]
-            flow = flows[fl]
+            flow = ((flows[0][fl], flows[1][fl])
+                    if isinstance(flows, tuple) else flows[fl])
             st, ad, sts, metrics = step_body(
                 st, ad, sts, lrs, z1, z2, gt1, gt2, flow, sk,
                 mode=mode, do_stats=do_stats)
