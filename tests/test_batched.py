@@ -63,6 +63,7 @@ def reference_views(state, cfg, settings, mode=GenerateMode.FULL_PRECISION):
 
 
 @pytest.mark.parametrize("width", [48, 56])
+@pytest.mark.slow
 def test_pair_matches_render_frame(width):
     """width=48 exercises the mirror fast path, 56 the rebin fallback."""
     state, cfg = tiny_model()
@@ -99,6 +100,7 @@ def test_pallas_batched_matches_jnp():
                                np.asarray(ref.images), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gradients_match_unbatched():
     state, cfg = tiny_model(seed=5)
     settings = settings_for(cfg, 48)
@@ -125,6 +127,7 @@ def test_gradients_match_unbatched():
                                rtol=2e-3, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_entropy_mode_runs():
     state, cfg = tiny_model(seed=7)
     settings = settings_for(cfg, 48)
@@ -138,6 +141,7 @@ def test_entropy_mode_runs():
         float(pr.renders[1].rate.bit_per_param)
 
 
+@pytest.mark.slow
 def test_means2d_gradients_stay_per_view():
     """Each view's means2d cotangent must carry ONLY that view's screen
     gradients (the densification statistic); the mirror derivation must
@@ -176,6 +180,7 @@ def test_means2d_gradients_stay_per_view():
                                    err_msg=f"view {vi}")
 
 
+@pytest.mark.slow
 def test_means2d_gradients_pallas_matches_jnp():
     """The mirror-kernel path's per-view mu-grad outputs (do_stats mode)
     must reproduce the jnp path's means2d cotangents — including the
@@ -204,6 +209,7 @@ def test_means2d_gradients_pallas_matches_jnp():
                                    err_msg=f"view {vi}")
 
 
+@pytest.mark.slow
 def test_pair_entropy_contexts_match_direct():
     """The union-window context slices must equal per-window queries,
     in both the shared-union and fallback branches."""

@@ -134,6 +134,7 @@ def test_decoded_state_renders():
     assert bool(jnp.all(jnp.isfinite(out.image)))
 
 
+@pytest.mark.slow
 def test_encode_100k_anchors_chunked_context():
     """Flagship-size encode: 100k anchors round-trip through the codec
     with the CHUNKED full-set symbol-range pass (conduct_encoding never

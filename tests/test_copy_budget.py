@@ -26,6 +26,7 @@ def _bin_with(args, settings):
 
 
 @pytest.mark.parametrize("m,seed", [(40, 0), (96, 1), (200, 2)])
+@pytest.mark.slow
 def test_tile_lists_identical_within_budget(m, seed):
     args = make_scene(m=m, seed=seed)
     legacy = _bin_with(args, SETTINGS)

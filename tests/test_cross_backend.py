@@ -91,6 +91,7 @@ def test_context_drift_absorbed(monkeypatch):
             err_msg=f"decoded plane {k!r} diverged: rANS desync")
 
 
+@pytest.mark.slow
 def test_decode_in_fresh_process(tmp_path):
     cfg, state = make_state(n=150, capacity=192, seed=5)
     state = _randomize_state(state, seed=6)

@@ -9,6 +9,7 @@ import pytest
 from tests.test_train import small_config, synthetic_video
 
 
+@pytest.mark.slow
 def test_debug_vis_cli(tmp_path):
     pytest.importorskip("PIL")
     from PIL import Image

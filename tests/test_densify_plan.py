@@ -209,6 +209,7 @@ def test_plan_matches_host_capacity_growth():
                   voxel=0.02, seed=11, capacity=320)
 
 
+@pytest.mark.slow
 def test_fitter_trajectory_invariant_to_densify_path():
     """End-to-end: a short fit must produce the IDENTICAL model whether
     densify epochs run as host surgery or as the device index plan (the

@@ -8,6 +8,7 @@ from gsvc_tpu.config import Config
 from gsvc_tpu.framecube import FrameCubeDataset
 from gsvc_tpu.train.fit import GOPFitter
 from tests.test_train import small_config, synthetic_video
+import pytest
 
 
 def test_optical_loss_zero_when_motion_matches_flow():
@@ -55,6 +56,7 @@ def test_optical_loss_zero_when_motion_matches_flow():
     assert float(loss2) > 1e-3
 
 
+@pytest.mark.slow
 def test_train_step_with_optical_loss_compiles():
     frames = synthetic_video(t=4, h=16, w=16)
     # constant small flow

@@ -9,8 +9,10 @@ from gsvc_tpu.config import (
 from gsvc_tpu.framecube import FrameCubeDataset
 from gsvc_tpu.train.fit import GOPFitter
 from tests.test_train import synthetic_video
+import pytest
 
 
+@pytest.mark.slow
 def test_fit_grows_capacity_on_overflow():
     cfg = Config(
         model=ModelConfig(

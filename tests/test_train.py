@@ -89,6 +89,7 @@ class TestFitting:
         assert fitter.stats.offset_denom.shape[0] == cap * k
 
 
+@pytest.mark.slow
 def test_window_cap_shrinks_after_heavy_prune():
     """Round-2 verdict item 8: after heavy pruning the padded TSW window
     must shrink back (not just grow) and the step must re-jit to the

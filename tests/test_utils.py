@@ -6,6 +6,7 @@ from gsvc_tpu.codec.huffman import (build_canonical_code, huffman_decode,
                                     huffman_encode)
 from gsvc_tpu.utils.flow_viz import flow_to_image
 from gsvc_tpu.utils.ply import load_gaussian_ply, save_gaussian_ply
+import pytest
 
 
 def test_ply_roundtrip(tmp_path):
@@ -78,6 +79,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert f2.controller.current_iteration == f1.controller.current_iteration
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues_fit(tmp_path):
     """A resumed fit must CONTINUE the schedule — absolute iteration
     numbers drive the LR schedules, phase controller, and log labels
