@@ -73,13 +73,30 @@ def _train_segmented(args, cfg):
     return summary
 
 
+class _StridedFrames:
+    """Index-mapped view over a (lazy) frame stack: view[i] == base[i*s].
+
+    Keeps the per-frame laziness of FrameCubeDataset.images — slicing
+    the lazy view with [::s] would materialize the full f32 stack."""
+
+    def __init__(self, base, stride):
+        self.base, self.stride = base, stride
+
+    def __getitem__(self, i):
+        return self.base[i * self.stride]
+
+
 def _codec_eval(state, gcfg, settings, window_cap, capacity, frame_zs,
-                dataset, cfg, out_dir, lpips_arg, log):
+                dataset, cfg, out_dir, lpips_arg, log, eval_stride=1):
     """Encode -> decode -> evaluate one fitted GOP model.
 
     Shared by the single-GOP path (main) and the fan-out path
     (_train_gop_parallel); mirrors the reference's post-train flow
-    (train_model.py: conduct_encoding/conduct_decoding + report)."""
+    (train_model.py: conduct_encoding/conduct_decoding + report).
+
+    ``eval_stride``: score every Nth frame (uniform subsample) — the
+    bitstream/bpp always covers ALL frames; only the metric average is
+    subsampled.  Recorded in the results when != 1."""
     import pathlib
 
     from gsvc_tpu.codec.bitstream import conduct_decoding, conduct_encoding
@@ -107,10 +124,15 @@ def _codec_eval(state, gcfg, settings, window_cap, capacity, frame_zs,
         from gsvc_tpu.metrics.lpips import load_lpips_weights
 
         lpips_w = load_lpips_weights(lpips_arg)
+    eval_zs = frame_zs
+    gt = dataset.images
+    if eval_stride > 1:
+        eval_zs = frame_zs[::eval_stride]
+        gt = _StridedFrames(gt, eval_stride) if gt is not None else None
     ev = evaluate_video(
-        dec_state, gcfg, settings, window_cap, frame_zs,
+        dec_state, gcfg, settings, window_cap, eval_zs,
         dataset.x_min, dataset.y_min, dataset.scale,
-        gt_images=dataset.images, mode=GenerateMode.DECODED,
+        gt_images=gt, mode=GenerateMode.DECODED,
         decoded=True, lpips_weights=lpips_w)
     log("decoded eval: psnr=%.2f ssim=%.4f lpips=%s fps=%.1f"
         % (ev.get("psnr", 0), ev.get("ssim", 0),
@@ -123,6 +145,9 @@ def _codec_eval(state, gcfg, settings, window_cap, capacity, frame_zs,
                    decoded_lpips=ev.get("lpips"),
                    decode_fps=ev["fps"],
                    size_mb=total_bytes / 2 ** 20)
+    if eval_stride > 1:
+        results["eval_stride"] = eval_stride
+        results["eval_frames"] = len(eval_zs)
     if lpips_arg == "proxy":
         # deterministic random-feature proxy, NOT pretrained-VGG LPIPS —
         # absolute values are not comparable to published curves
@@ -217,7 +242,8 @@ def _train_gop_parallel(args, cfg):
                 res.update(_codec_eval(
                     st, gcfg, settings, window_cap,
                     int(st.anchors.anchor.shape[0]), zs, ds, cfg,
-                    str(out_dir), args.lpips_weights, log.info))
+                    str(out_dir), args.lpips_weights, log.info,
+                    eval_stride=args.eval_stride))
             (out_dir / "results.json").write_text(json.dumps(res,
                                                              indent=2))
             aggregate.append(res)
@@ -245,6 +271,10 @@ def main(argv=None):
     parser.add_argument("--eval_every", type=int, default=0)
     parser.add_argument("--skip_codec", action="store_true",
                         help="fit only; skip encode/decode round trip")
+    parser.add_argument("--eval_stride", type=int, default=1,
+                        help="score every Nth frame in the decoded eval "
+                             "(bpp still covers all frames); recorded in "
+                             "results.json when != 1")
     parser.add_argument("--profile", type=str, default=None,
                         help="capture a jax.profiler trace into this dir "
                              "for the first ~50 iterations")
@@ -339,7 +369,8 @@ def main(argv=None):
         results.update(_codec_eval(
             fitter.state, fitter.gcfg, fitter.settings, fitter.window_cap,
             fitter.capacity, fitter.frame_zs, dataset, cfg,
-            cfg.pipeline.model_path, args.lpips_weights, log.info))
+            cfg.pipeline.model_path, args.lpips_weights, log.info,
+            eval_stride=args.eval_stride))
 
     out = pathlib.Path(cfg.pipeline.model_path) / "results.json"
     out.write_text(json.dumps(results, indent=2))
