@@ -33,10 +33,17 @@ say "0.004 complete; TPU free"
 
 launch() {
   local dir_abs=$1 lm=$2
+  # no rsync on this image — plain copy (the snapshot is ~2 MB of .py)
   mkdir -p /root/.fitsnap
-  rsync -a --delete /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/
+  rm -rf /root/.fitsnap/gsvc_tpu /root/.fitsnap/cfgs
+  cp -r /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/
+  find /root/.fitsnap -name __pycache__ -type d -exec rm -rf {} + \
+    2>/dev/null || true
+  # keep /root/.axon_site on PYTHONPATH: its sitecustomize.py registers
+  # the axon TPU backend — replacing PYTHONPATH wholesale kills the chip
   ( cd /root/.fitsnap && \
-    exec env PYTHONPATH=/root/.fitsnap python -m gsvc_tpu.cli.train \
+    exec env PYTHONPATH=/root/.fitsnap:/root/.axon_site \
+      python -m gsvc_tpu.cli.train \
       --source_path /root/data/gop600/frames \
       --optical_path /root/data/gop600/flow \
       --model_path "$dir_abs" \

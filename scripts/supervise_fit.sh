@@ -33,13 +33,18 @@ launch() {
   # ALSO cd out of /root/repo — hence the absolute paths.
   local dir_abs cfg_abs
   dir_abs=$(readlink -f "$DIR")
+  # no rsync on this image — plain copy of the ~2 MB package
   mkdir -p /root/.fitsnap
-  rsync -a --delete /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/ \
-    2>/dev/null || { rm -rf /root/.fitsnap/gsvc_tpu /root/.fitsnap/cfgs;
-    cp -r /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/; }
+  rm -rf /root/.fitsnap/gsvc_tpu /root/.fitsnap/cfgs
+  cp -r /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/
+  find /root/.fitsnap -name __pycache__ -type d -exec rm -rf {} + \
+    2>/dev/null || true
   cfg_abs=/root/.fitsnap/cfgs/cfg_20240919_8k.yaml
+  # keep /root/.axon_site on PYTHONPATH: its sitecustomize.py registers
+  # the axon TPU backend — replacing PYTHONPATH wholesale kills the chip
   ( cd /root/.fitsnap && \
-    exec env PYTHONPATH=/root/.fitsnap python -m gsvc_tpu.cli.train \
+    exec env PYTHONPATH=/root/.fitsnap:/root/.axon_site \
+      python -m gsvc_tpu.cli.train \
     --source_path /root/data/gop600/frames \
     --optical_path /root/data/gop600/flow \
     --model_path "$dir_abs" \
