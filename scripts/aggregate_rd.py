@@ -45,6 +45,10 @@ def main(root: str) -> dict:
             "decode_fps": r.get("decode_fps"),
             "size_mb": r.get("size_mb"),
             "iterations": r.get("iterations"),
+            # bracket points: warm-started fine-tunes w/ strided eval
+            # (artifacts/rd_r3/README.md) — absent on full fits
+            "eval_stride": r.get("eval_stride"),
+            "eval_frames": r.get("eval_frames"),
         })
     points.sort(key=lambda p: p["lmbda"])
 
