@@ -19,7 +19,25 @@ import threading
 
 import numpy as np
 
-_SRC = pathlib.Path(__file__).resolve().parents[2] / "csrc" / "gsvc_codec.cpp"
+def _find_src() -> pathlib.Path:
+    """Locate csrc/gsvc_codec.cpp.  Fit launchers snapshot only the
+    Python package (scripts/rd_r4_finetune.sh copies gsvc_tpu/ + cfgs/),
+    so the sibling-of-package path may not exist — fall back to an env
+    override, then the canonical repo checkout."""
+    cands = []
+    env = os.environ.get("GSVC_CSRC_DIR")
+    if env:
+        cands.append(pathlib.Path(env) / "gsvc_codec.cpp")
+    cands.append(pathlib.Path(__file__).resolve().parents[2]
+                 / "csrc" / "gsvc_codec.cpp")
+    cands.append(pathlib.Path("/root/repo/csrc/gsvc_codec.cpp"))
+    for c in cands:
+        if c.exists():
+            return c
+    return cands[1 if not env else 0]
+
+
+_SRC = _find_src()
 _LIB_PATH = _SRC.parent / "libgsvc_codec.so"
 _lock = threading.Lock()
 _lib = None

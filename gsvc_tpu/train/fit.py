@@ -658,8 +658,19 @@ class GOPFitter:
         # controller and over-run the schedule by another `total`).
         start = self.controller.current_iteration
         if start >= total:
-            raise ValueError(
-                f"resume iteration {start} >= total {total}: nothing to do")
+            # A checkpoint at (or past) the final iteration means training
+            # is done — the caller still needs the post-fit stages (encode
+            # round trip, decoded eval), so return a completed report
+            # instead of raising.  This is the relaunch-after-crash path:
+            # a supervisor that resumes from chkpnt_final must fall
+            # through to encode, not die before it.
+            self.log(f"resume iteration {start} >= total {total}: "
+                     "training already complete; skipping the loop")
+            # the controller is stepped past the last iteration before a
+            # final checkpoint, so the trained count is start - 1
+            report.iterations = start - 1
+            report.n_active = int(self.state.n_active)
+            return report
 
         self.controller.step()
         self.log(f"loop start at iter {start + 1}/{total} "

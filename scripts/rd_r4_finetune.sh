@@ -35,8 +35,9 @@ launch() {
   local dir_abs=$1 lm=$2
   # no rsync on this image — plain copy (the snapshot is ~2 MB of .py)
   mkdir -p /root/.fitsnap
-  rm -rf /root/.fitsnap/gsvc_tpu /root/.fitsnap/cfgs
-  cp -r /root/repo/gsvc_tpu /root/repo/cfgs /root/.fitsnap/
+  rm -rf /root/.fitsnap/gsvc_tpu /root/.fitsnap/cfgs /root/.fitsnap/csrc
+  # csrc too: the post-fit encode stage builds/loads the host codec
+  cp -r /root/repo/gsvc_tpu /root/repo/cfgs /root/repo/csrc /root/.fitsnap/
   find /root/.fitsnap -name __pycache__ -type d -exec rm -rf {} + \
     2>/dev/null || true
   # keep /root/.axon_site on PYTHONPATH: its sitecustomize.py registers

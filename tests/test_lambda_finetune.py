@@ -57,3 +57,17 @@ def test_finetune_resume_and_strided_eval(video_dir, cfg_file,  # noqa: F811
     assert np.isfinite(res["decoded_psnr"])
     on_disk = json.loads((ft_out / "results.json").read_text())
     assert on_disk["eval_stride"] == 2
+
+    # Supervisor relaunch-after-crash path: resuming from the FINAL
+    # checkpoint with the same horizon must skip the loop (nothing left
+    # to train) and still fall through to encode + results.json — a
+    # raise here would make a crashed-after-fit point unfinishable.
+    re_out = tmp_path_factory.mktemp("re")
+    res2 = train_main([
+        "--source_path", str(frames_dir), "--optical_path", str(flow_dir),
+        "--model_path", str(re_out), "--config_path", str(ft_cfg),
+        "--lmbda", "0.008", "--eval_stride", "2",
+        "--checkpoint", str(ft_out / "chkpnt_final.pkl")])
+    assert res2["iterations"] == 10
+    assert res2["bpp"] > 0
+    assert (re_out / "results.json").exists()
