@@ -93,24 +93,38 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
         imgs = [render(state, jnp.asarray(float(fz))) for fz in zs]
         jax.block_until_ready(imgs[-1])
         render_time += time.perf_counter() - t0
+        # one device->host pull per CHUNK, not 3-4 scalar RPCs per frame
+        # (each float() through the axon tunnel costs ~100-300 ms; at 600
+        # frames that was minutes of pure RPC overhead)
+        chunk_stats = []
         for i, im in enumerate(imgs):
             gi = c0 + i
             if gt_images is not None:
                 gt = jnp.asarray(gt_images[gi])
                 if gt.ndim == 3 and gt.shape[-1] == 3:  # HWC -> CHW
                     gt = jnp.transpose(gt, (2, 0, 1))
-                psnrs.append(float(psnr(im, gt)))
-                ssims.append(float(ssim(im, gt)))
+                row = [psnr(im, gt), ssim(im, gt)]
                 if can_msssim:
-                    msssims.append(float(ms_ssim(im, gt)))
+                    row.append(ms_ssim(im, gt))
                 if lpips_fn is not None:
-                    lpipss.append(float(lpips_fn(
+                    row.append(lpips_fn(
                         jnp.transpose(im, (1, 2, 0)),
-                        jnp.transpose(gt, (1, 2, 0)))))
+                        jnp.transpose(gt, (1, 2, 0))))
+                chunk_stats.append(jnp.stack(row))
             if dump_out is not None:
                 arr = np.clip(np.asarray(im).transpose(1, 2, 0) * 255,
                               0, 255).astype(np.uint8)
                 Image.fromarray(arr).save(dump_out / f"frame_{gi:05d}.png")
+        if chunk_stats:
+            mat = np.asarray(jnp.stack(chunk_stats))
+            psnrs.extend(float(v) for v in mat[:, 0])
+            ssims.extend(float(v) for v in mat[:, 1])
+            col = 2
+            if can_msssim:
+                msssims.extend(float(v) for v in mat[:, col])
+                col += 1
+            if lpips_fn is not None:
+                lpipss.extend(float(v) for v in mat[:, col])
         if c0 % (8 * chunk) == 0 and n > 64:
             print(f"[eval] {min(c0 + chunk, n)}/{n} frames", flush=True)
     fps = n / render_time
