@@ -92,6 +92,11 @@ class PipelineConfig:
     # the small decision planes; bit-exact vs the host-surgery path —
     # tests/test_densify_plan.py).  Off = pull/push every plane to host.
     device_densify: bool = True
+    # MXU input precision for the Pallas compositing matmuls
+    # (render/splat.py:RasterSettings.matmul_dtype): "float32" exact,
+    # "bf16x2" error-compensated transmittance + bf16 gradient matmuls,
+    # "bfloat16" straight bf16.
+    matmul_dtype: str = "float32"
 
 
 @dataclass

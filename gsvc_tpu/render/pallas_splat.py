@@ -75,7 +75,47 @@ def _tri_excl_lower(chunk):
             ).astype(jnp.float32)
 
 
-def _trans_chunk(alpha32, chunk, with_total: bool = True, tri=None):
+def _mm_bf16(a, b):
+    """bf16-input matmul, f32 accumulation (full MXU rate)."""
+    return _mm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+
+
+def _mm_rhs_t_bf16(a, b):
+    return _mm_rhs_t(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+
+
+def _mm_tri_bf16x2(tri, b):
+    """Error-compensated two-pass bf16 matmul for the transmittance
+    cumsum: tri is exactly representable (0/1), b is split b = hi + lo
+    with both halves bf16 — the residual carries ~9 extra mantissa bits,
+    so the f32-accumulated sum matches the f32 matmul to ~2^-18 per
+    term.  2 bf16 MXU passes replace the (slower) f32 emulation."""
+    th = tri.astype(jnp.bfloat16)
+    bh = b.astype(jnp.bfloat16)
+    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return _mm(th, bh) + _mm(th, bl)
+
+
+def _matmul_fns(settings):
+    """(mm_tri, mm_grad, mm_grad_rhs_t) per the matmul_dtype policy.
+
+    mm_tri guards the transmittance cumsum (image-exactness sensitive);
+    the grad pair feeds the backward's suffix/moment/color matmuls
+    (~0.4% relative error in bf16, gated by the grad-cosine tests).
+    compute_dtype=="bfloat16" implies bf16 gradient matmuls for
+    backward compatibility with the v2 fast mode."""
+    md = getattr(settings, "matmul_dtype", "float32")
+    if md == "bfloat16":
+        return _mm_bf16, _mm_bf16, _mm_rhs_t_bf16
+    if md == "bf16x2":
+        return _mm_tri_bf16x2, _mm_bf16, _mm_rhs_t_bf16
+    if settings.compute_dtype == "bfloat16":
+        return _mm, _mm_bf16, _mm_rhs_t_bf16
+    return _mm, _mm, _mm_rhs_t
+
+
+def _trans_chunk(alpha32, chunk, with_total: bool = True, tri=None,
+                 mm_tri=None):
     """In-chunk transmittance factors from fp32 alpha.
 
     Returns (excl [C,P]: prod over rows before i in COMPOSITE order of
@@ -90,7 +130,9 @@ def _trans_chunk(alpha32, chunk, with_total: bool = True, tri=None):
     l = jnp.log1p(-alpha32)                       # [C, P]
     if tri is None:
         tri = _tri_excl_lower(chunk)
-    s_excl = _mm(tri, l)                          # MXU exclusive cumsum
+    if mm_tri is None:
+        mm_tri = _mm
+    s_excl = mm_tri(tri, l)                       # MXU exclusive cumsum
     excl = jnp.exp(s_excl)
     if not with_total:
         return excl, None
@@ -236,6 +278,7 @@ def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool,
     p = settings.tile_h * settings.tile_w
     chunk = settings.chunk
     n_chunks = settings.gaussian_cap // chunk
+    mm_tri, _, _ = _matmul_fns(settings)
 
     for t in range(tps):
         tile_id = pl.program_id(0) * tps + t
@@ -251,7 +294,7 @@ def _fwd_kernel(count_ref, *refs, settings: RasterSettings, save_tchk: bool,
             alpha, _, _, _ = _chunk_alpha(scalars, xs, ys,
                                           settings.compute_dtype)
             alpha32 = alpha.astype(jnp.float32)
-            excl, chunk_t = _trans_chunk(alpha32, chunk)
+            excl, chunk_t = _trans_chunk(alpha32, chunk, mm_tri=mm_tri)
             t_before = t_carry * excl                         # [C, P] fp32
             w = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
             col_r, col_g, col_b = scalars[6:9]
@@ -304,31 +347,25 @@ def _bwd_kernel(count_ref, *refs, settings: RasterSettings, tps: int = 1):
     chunk = settings.chunk
     n_chunks = settings.gaussian_cap // chunk
     tri_up = _tri_excl_upper(chunk)
-    # in bf16 fast mode the backward's four matmuls (gc, suffix, moments,
-    # dcol) take bf16 INPUTS with f32 accumulation: 4x MXU rate, ~0.4%
-    # relative gradient error (validated by the grad-cosine test); the
-    # transmittance cumsum stays f32 (log-space sums are sensitive)
-    if settings.compute_dtype == "bfloat16":
-        def mm(a, b):
-            return _mm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
-
-        def mm_rhs_t(a, b):
-            return _mm_rhs_t(a.astype(jnp.bfloat16),
-                             b.astype(jnp.bfloat16))
-    else:
-        mm, mm_rhs_t = _mm, _mm_rhs_t
+    # the backward's four gradient matmuls (gc, suffix, moments, dcol)
+    # take bf16 inputs with f32 accumulation when matmul_dtype/bf16 fast
+    # mode asks for it: 4x MXU rate, ~0.4% relative gradient error
+    # (validated by the grad-cosine test); the transmittance cumsum
+    # follows the forward's mm_tri policy so the replayed T matches the
+    # forward's checkpoints
+    mm_tri, mm, mm_rhs_t = _matmul_fns(settings)
     bg = settings.bg
     for t in range(tps):
         tile_id = pl.program_id(0) * tps + t
         count = count_ref[tile_id]
         xs, ys, cx, cy = _tile_coords(settings, tile_id)
         _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
-                      tri_up, mm, mm_rhs_t, t, count, xs, ys, cx, cy,
-                      chunk, n_chunks, bg)
+                      tri_up, mm_tri, mm, mm_rhs_t, t, count, xs, ys, cx,
+                      cy, chunk, n_chunks, bg)
 
 
 def _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
-                  tri_up, mm, mm_rhs_t, t, count, xs, ys, cx, cy,
+                  tri_up, mm_tri, mm, mm_rhs_t, t, count, xs, ys, cx, cy,
                   chunk, n_chunks, bg):
     # pixel-polynomial basis rows: [1, xl, yl, xl^2, xl*yl, yl^2, 0, 0]
     basis = _basis8(xs, ys)
@@ -349,7 +386,8 @@ def _bwd_one_tile(planes_refs, g_ref, tchk_ref, grad_refs, settings,
         alpha, act, _, _ = _chunk_alpha(scalars, xs, ys,
                                         settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
-        excl, _ = _trans_chunk(alpha32, chunk, with_total=False)
+        excl, _ = _trans_chunk(alpha32, chunk, with_total=False,
+                               mm_tri=mm_tri)
         t_start = tchk_ref[t, c, :][None, :]
         t_before = t_start * excl
         return scalars, alpha32, act, t_before
@@ -607,6 +645,7 @@ def _fwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
     xs_eff = jnp.where(rev, -xs, xs)
     tri_fwd = jnp.where(rev, _tri_excl_upper(chunk), _tri_excl_lower(chunk))
     n_used = jnp.minimum((count + chunk - 1) // chunk, n_chunks)
+    mm_tri, _, _ = _matmul_fns(settings)
 
     def body(state):
         p, t_carry, acc = state
@@ -620,7 +659,8 @@ def _fwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
         alpha, _, _, _ = _chunk_alpha(scalars, xs_eff, ys,
                                       settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
-        excl, chunk_t = _trans_chunk(alpha32, chunk, tri=tri_fwd)
+        excl, chunk_t = _trans_chunk(alpha32, chunk, tri=tri_fwd,
+                                     mm_tri=mm_tri)
         t_before = t_carry * excl                         # [C, P] fp32
         w = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
         col_r, col_g, col_b = scalars[6:9]
@@ -671,14 +711,7 @@ def _bwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
     # "later" gaussians are the LOWER data rows
     tri_bwd = jnp.where(rev, _tri_excl_lower(chunk), _tri_excl_upper(chunk))
 
-    if settings.compute_dtype == "bfloat16":
-        def mm(a, b):
-            return _mm(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
-
-        def mm_rhs_t(a, b):
-            return _mm_rhs_t(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
-    else:
-        mm, mm_rhs_t = _mm, _mm_rhs_t
+    mm_tri, mm, mm_rhs_t = _matmul_fns(settings)
 
     # mux/muy may be per-view outputs (densification stats need each
     # view's screen gradients separately); the other seven accumulate
@@ -717,7 +750,8 @@ def _bwd_kernel_mirror(count_ref, *refs, settings: RasterSettings,
         alpha, act, _, _ = _chunk_alpha(scalars, xs_eff, ys,
                                         settings.compute_dtype)
         alpha32 = alpha.astype(jnp.float32)
-        excl, _ = _trans_chunk(alpha32, chunk, with_total=False, tri=tri_fwd)
+        excl, _ = _trans_chunk(alpha32, chunk, with_total=False,
+                               tri=tri_fwd, mm_tri=mm_tri)
         t_before = tchk_ref[0, p, :][None, :] * excl
         mu_x, mu_y, con_a, con_b, con_c, op = scalars[:6]
 

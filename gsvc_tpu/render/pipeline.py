@@ -47,7 +47,8 @@ class RenderResults(NamedTuple):
 def make_raster_settings(cfg: GaussianConfig, image_height: int,
                          image_width: int, *, tile_h=16, tile_w=128,
                          gaussian_cap=1024, chunk=128, tiles_per_gaussian=32,
-                         copy_budget_factor=0, bg=0.0) -> RasterSettings:
+                         copy_budget_factor=0, bg=0.0,
+                         matmul_dtype="float32") -> RasterSettings:
     # chunk must be a multiple of 128 for the Pallas kernels (lane-aligned
     # dynamic slices); the jnp compositor accepts any divisor of cap
     vmem_est = tile_h * tile_w * chunk * 4 * 10  # ~10 live [C,P] f32 bufs
@@ -64,7 +65,8 @@ def make_raster_settings(cfg: GaussianConfig, image_height: int,
         threshold=cfg.threshold, kernel_size=cfg.kernel_size,
         tile_h=tile_h, tile_w=tile_w, gaussian_cap=gaussian_cap,
         chunk=chunk, tiles_per_gaussian=tiles_per_gaussian,
-        copy_budget_factor=copy_budget_factor, bg=bg)
+        copy_budget_factor=copy_budget_factor, bg=bg,
+        matmul_dtype=matmul_dtype)
 
 
 def render_frame(

@@ -97,6 +97,19 @@ class RasterSettings:
     # "bfloat16" runs the Pallas alpha evaluation in bf16 (2x VPU) with
     # fp32 transmittance/accumulation; ~0.4% alpha error — training only
     compute_dtype: str = "float32"
+    # Input precision of the Pallas kernels' MXU matmuls (the dominant
+    # per-chunk cost: the triangular log-transmittance cumsums fwd+bwd
+    # and the backward's moment/suffix/color matmuls).  The MXU is
+    # bf16-native — f32 matmuls are emulated at a fraction of peak — so:
+    #   "float32"  exact (legacy default);
+    #   "bf16x2"   transmittance cumsum via an error-compensated two-pass
+    #              bf16 split (|err| ~2^-18 per log1p term, absorbed by
+    #              exp; image-exactness preserved to ~1e-4) + straight
+    #              bf16 inputs for the backward's gradient matmuls
+    #              (~0.4% relative, validated by the grad-cosine test);
+    #   "bfloat16" straight bf16 everywhere (fastest; T error ~0.4%).
+    # Accumulation is always f32 (preferred_element_type).
+    matmul_dtype: str = "float32"
 
     @property
     def n_tiles_x(self) -> int:

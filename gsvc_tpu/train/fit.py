@@ -125,7 +125,8 @@ class GOPFitter:
             tile_h=cfg.pipeline.tile_h, tile_w=cfg.pipeline.tile_w,
             gaussian_cap=cfg.pipeline.visible_capacity or 1024,
             chunk=cfg.pipeline.gaussian_chunk,
-            copy_budget_factor=cfg.pipeline.copy_budget_factor, bg=bg)
+            copy_budget_factor=cfg.pipeline.copy_budget_factor, bg=bg,
+            matmul_dtype=cfg.pipeline.matmul_dtype)
 
         self._overflow_strikes = 0
         self.schedules = build_schedules(opt, spatial_lr_scale=1.0,
