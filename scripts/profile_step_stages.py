@@ -86,10 +86,11 @@ def main():
                        voxel_size=0.001)
     state = update_anchor_bound(state, x_min, y_min, -T / 2 / scale)
     window_cap = 256 if small else 16_384
-    settings = make_raster_settings(cfg, H, W, tile_h=8, tile_w=128,
-                                    gaussian_cap=512 if not small else 64,
-                                    chunk=128 if not small else 64,
-                                    tiles_per_gaussian=32)
+    settings = make_raster_settings(
+        cfg, H, W, tile_h=8, tile_w=128,
+        gaussian_cap=512 if not small else 64,
+        chunk=128 if not small else 64, tiles_per_gaussian=32,
+        matmul_dtype=os.environ.get("GSVC_MATMUL_DTYPE", "float32"))
     rasterizer = "pallas_train" if on_tpu else "jnp"
 
     z0 = jnp.float32(0.0)
