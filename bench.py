@@ -90,12 +90,16 @@ def main():
     state = update_anchor_bound(state, x_min, y_min, -T / 2 / scale)
 
     window_cap = 16_384
-    # fp32 compute: with the v2 kernels (MXU accumulation + log-space
-    # transmittance) bf16 alpha measured slightly SLOWER on v5e — the
-    # cast passes outweigh the VPU savings at the reduced pass count
-    settings = make_raster_settings(cfg, H, W, tile_h=8, tile_w=128,
-                                    gaussian_cap=512, chunk=128,
-                                    tiles_per_gaussian=32)
+    # fp32 alpha compute: with the v2 kernels (MXU accumulation +
+    # log-space transmittance) bf16 ALPHA math measured slightly SLOWER
+    # on v5e — the cast passes outweigh the VPU savings at the reduced
+    # pass count.  The MXU matmul input precision is a separate knob
+    # (matmul_dtype, round 4): overridable here for A/B runs.
+    import os
+    settings = make_raster_settings(
+        cfg, H, W, tile_h=8, tile_w=128, gaussian_cap=512, chunk=128,
+        tiles_per_gaussian=32,
+        matmul_dtype=os.environ.get("GSVC_MATMUL_DTYPE", "float32"))
     opt = OptimizationConfig(optical_lambda=0.0)
     rasterizer = "pallas_train" if on_tpu else "jnp"
     step = make_train_step(cfg, settings, window_cap, opt, width=W,
