@@ -101,7 +101,10 @@ def main():
         tiles_per_gaussian=32,
         matmul_dtype=os.environ.get("GSVC_MATMUL_DTYPE", "float32"))
     opt = OptimizationConfig(optical_lambda=0.0)
-    rasterizer = "pallas_train" if on_tpu else "jnp"
+    rasterizer = os.environ.get(
+        "GSVC_RASTERIZER", "pallas_train" if on_tpu else "jnp")
+    raster_inf = ("pallas_stream" if rasterizer == "pallas_stream"
+                  else ("pallas" if on_tpu else "jnp"))
     step = make_train_step(cfg, settings, window_cap, opt, width=W,
                            height=H, scale=scale, x_min=x_min, y_min=y_min,
                            rasterizer=rasterizer)
@@ -188,7 +191,7 @@ def main():
         img, _, _, _ = render_frame_views(
             st, cfg, z, x_min, y_min, scale, settings, window_cap,
             mode=GenerateMode.FULL_PRECISION,
-            rasterizer="pallas" if on_tpu else "jnp", inference=True)
+            rasterizer=raster_inf, inference=True)
         return img
 
     img = decode_frame(state, jnp.asarray(0.0))
@@ -213,7 +216,7 @@ def main():
             img, _, _, _ = render_frame_views(
                 st, cfg, jnp.float32(0.001) * i, x_min, y_min, scale,
                 settings, window_cap, mode=GenerateMode.FULL_PRECISION,
-                rasterizer="pallas" if on_tpu else "jnp", inference=True)
+                rasterizer=raster_inf, inference=True)
             return acc + img[0, 0, 0]
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 

@@ -97,6 +97,11 @@ class PipelineConfig:
     # "bf16x2" error-compensated transmittance + bf16 gradient matmuls,
     # "bfloat16" straight bf16.
     matmul_dtype: str = "float32"
+    # Rasterizer kernel family: "" = auto (pallas_train on real TPU, jnp
+    # elsewhere); "pallas_stream" selects the stream-resident v4 kernels
+    # (render/pallas_stream.py) whose gather/scatter/checkpoint machinery
+    # scales with actual binned copies instead of tiles x gaussian_cap.
+    rasterizer: str = ""
 
 
 @dataclass

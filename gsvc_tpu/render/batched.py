@@ -144,7 +144,9 @@ def _frame_views(gss: GeneratedGaussians, frame_z, x_min, y_min, scale,
 def _composite_concat(settings, planes_all, counts_all, rasterizer: str,
                       inference: bool):
     """Dispatch concatenated-view planes to a compositor; assemble."""
-    if rasterizer in ("pallas", "pallas_train"):
+    if rasterizer in ("pallas", "pallas_train", "pallas_stream"):
+        # pallas_stream reaches here only on the non-mirrorable fallback
+        # (image width not tile-aligned): concatenated-view planes
         from gsvc_tpu.render.pallas_splat import (
             composite_tiles_inference, pallas_tile_composite,
         )
@@ -177,18 +179,40 @@ def render_frame_views(state: ModelState, cfg: GaussianConfig, frame_z,
         state, cfg, frame_z=frame_z, cam_z=frame_z, window_start=start,
         in_window=in_window, cap=window_cap, mode=mode, key=key,
         decoded=decoded)
-    if rasterizer in ("pallas", "pallas_train") and can_mirror(settings):
+    if (rasterizer in ("pallas", "pallas_train", "pallas_stream")
+            and can_mirror(settings)):
         from gsvc_tpu.render.splat import attr_rows_from_proj
-        from gsvc_tpu.render.pallas_splat import mirror_composite_attrs
 
         proj = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
                                  frame_z, x_min, y_min, scale, settings,
                                  flip=False)
         opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
-        tile_lists, counts, _, ovf, nrend = _bin_gaussians(proj, settings)
-        attrs = attr_rows_from_proj(proj, opacity, gss.color)
-        out4 = mirror_composite_attrs(
-            settings, attrs[None], tile_lists[None], counts[None], None)
+        if rasterizer == "pallas_stream":
+            from gsvc_tpu.render.pallas_stream import (
+                concat_stream_bins, stream_composite_attrs,
+                stream_composite_inference,
+            )
+            from gsvc_tpu.render.splat import bin_gaussians_stream
+
+            sb = bin_gaussians_stream(proj, settings)
+            ovf, nrend = sb.overflow, sb.n_rendered
+            attrs = attr_rows_from_proj(proj, opacity, gss.color)
+            sids, blk_tile, blk_cc, nblk = concat_stream_bins(
+                [sb], settings)
+            compose = (stream_composite_inference if inference
+                       else functools.partial(stream_composite_attrs,
+                                              m2d=None))
+            out4 = compose(settings, attrs[None], sids, blk_tile, blk_cc,
+                           nblk)
+        else:
+            from gsvc_tpu.render.pallas_splat import mirror_composite_attrs
+
+            tile_lists, counts, _, ovf, nrend = _bin_gaussians(proj,
+                                                               settings)
+            attrs = attr_rows_from_proj(proj, opacity, gss.color)
+            out4 = mirror_composite_attrs(
+                settings, attrs[None], tile_lists[None], counts[None],
+                None)
         images, ts = assemble_views(settings, out4)
     else:
         pf, cf, pb, cb_, proj, ovf, nrend, _, _ = _frame_views(
@@ -277,6 +301,8 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
 
     use_mirror_kernel = (rasterizer in ("pallas", "pallas_train")
                          and can_mirror(settings))
+    use_stream_kernel = (rasterizer == "pallas_stream"
+                         and can_mirror(settings))
 
     wins = [window_for_frame(state, cfg, z, window_cap) for z in (z1, z2)]
     ecs = [None, None]
@@ -299,7 +325,39 @@ def render_pair(state: ModelState, cfg: GaussianConfig, z1, z2,
                                  flip=False)
         gens.append((gss, start, in_window, proj))
 
-    if use_mirror_kernel:
+    if use_stream_kernel:
+        # v4 fast path: both views of each frame composited straight from
+        # the chunk-aligned sorted copy stream — no [T, cap] padded
+        # gather/scatter anywhere; machinery cost scales with the actual
+        # binned copies (pallas_stream.py, stream_composite_attrs)
+        from gsvc_tpu.render.pallas_stream import (
+            concat_stream_bins, stream_composite_attrs,
+        )
+        from gsvc_tpu.render.splat import (
+            attr_rows_from_proj, bin_gaussians_stream,
+        )
+
+        per_frame = []
+        attrs_l, sbs = [], []
+        mperm = jnp.asarray(_mirror_tile_perm(settings))
+        for fi, (gss, start, in_window, proj) in enumerate(gens):
+            sb = bin_gaussians_stream(proj, settings)
+            opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
+            attrs_l.append(attr_rows_from_proj(proj, opacity, gss.color))
+            sbs.append(sb)
+            per_frame.append((gss, start, in_window, proj, sb.overflow,
+                              sb.n_rendered, sb.dropped, sb.dropped[mperm]))
+        sids, blk_tile, blk_cc, nblk = concat_stream_bins(sbs, settings)
+        out4 = stream_composite_attrs(
+            settings, jnp.stack(attrs_l), sids, blk_tile, blk_cc, nblk,
+            means2d)
+        images, ts = assemble_views(settings, out4)
+        frames = [(gss, start, in_window, None, None, None, None, proj,
+                   ovf_f, nrend_f, dr_f, dr_b)
+                  for (gss, start, in_window, proj, ovf_f, nrend_f,
+                       dr_f, dr_b)
+                  in per_frame]
+    elif use_mirror_kernel:
         # v3 fast path: the flip views are composited IN-KERNEL from the
         # forward planes (mirrored pixel coords + reversed chunk order) —
         # no flip plane gather, no second scatter-add transpose, and ONE

@@ -232,17 +232,18 @@ def project_gaussians(
 # Tile binning
 # ---------------------------------------------------------------------------
 
-def _bin_gaussians(proj: Projected, settings: RasterSettings):
-    """Build per-tile depth-ordered gaussian index lists.
+def _sorted_copy_stream(proj: Projected, settings: RasterSettings):
+    """Device-wide sorted copy stream shared by both binning layouts.
 
-    One device-wide stable sort of (tile_id, depth_rank) keys replaces the
-    CUDA duplicate-key radix sort of 3DGS.  Each gaussian emits up to
+    One stable sort of (tile_id, depth_rank) keys replaces the CUDA
+    duplicate-key radix sort of 3DGS.  Each gaussian emits up to
     ``tiles_per_gaussian`` copies covering its bbox in tile units; very
     large gaussians are clamped to that coverage (scaling_reg and the
     prune-time scale clamp keep footprints small in practice).
 
-    Returns (tile_lists [n_tiles, cap] int32 gaussian ids, tile_counts
-    [n_tiles], overflow diagnostics).
+    Returns (gauss_sorted [S] int32 gaussian id per sorted copy, bounds
+    [n_tiles+1] int32 per-tile stream offsets, coverage_clipped,
+    budget_dropped, src_len).
     """
     m = proj.mean2d.shape[0]
     t_max = settings.tiles_per_gaussian
@@ -356,6 +357,19 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
                 tile_sorted, jnp.arange(settings.n_tiles + 1,
                                         dtype=jnp.int32))
         src_len = m * t_max
+    return gauss_sorted, bounds, coverage_clipped, budget_dropped, src_len
+
+
+def _bin_gaussians(proj: Projected, settings: RasterSettings):
+    """Per-tile depth-ordered gaussian index lists ([n_tiles, cap] padded
+    layout — the v2/v3 kernels' input; see bin_gaussians_stream for the
+    stream-resident layout whose cost scales with actual copies).
+
+    Returns (tile_lists [n_tiles, cap] int32 gaussian ids, tile_counts
+    [n_tiles], dropped, overflow, total_copies).
+    """
+    (gauss_sorted, bounds, coverage_clipped, budget_dropped,
+     src_len) = _sorted_copy_stream(proj, settings)
     tile_start = bounds[:-1]
     tile_count = bounds[1:] - bounds[:-1]
 
@@ -371,6 +385,80 @@ def _bin_gaussians(proj: Projected, settings: RasterSettings):
     total_copies = jnp.minimum(tile_count, cap).sum()
     return (tile_lists, jnp.minimum(tile_count, cap), dropped, overflow,
             total_copies)
+
+
+class StreamBins(NamedTuple):
+    """Aligned copy-stream binning (integer-only; one frame, fwd view).
+
+    The sorted copy stream is re-laid so every tile's span starts at a
+    chunk boundary: per-tile padding rounds counts up to the chunk
+    quantum, so the compositing kernel's grid can walk 128-wide stream
+    blocks with plain BlockSpec index maps (no [n_tiles, cap] padding —
+    memory and machinery scale with ACTUAL binned copies, not
+    tiles x cap).  Dead slots/blocks carry id/tile -1.
+    """
+
+    ids: jnp.ndarray        # [S_MAX] int32 gaussian id per slot, -1 dead
+    blk_tile: jnp.ndarray   # [B_MAX] int32 owning tile per block, -1 dead
+    blk_cc: jnp.ndarray     # [B_MAX] int32 chunk index within the tile
+    nblk: jnp.ndarray       # [n_tiles] int32 blocks per tile (>= 1)
+    counts: jnp.ndarray     # [n_tiles] int32 composited copies (<= cap)
+    dropped: jnp.ndarray    # [n_tiles] copies dropped at gaussian_cap
+    overflow: jnp.ndarray   # scalar diagnostic (cap + coverage + budget)
+    n_rendered: jnp.ndarray  # scalar composited-copy count
+
+
+def stream_blocks_max(settings: RasterSettings, m: int) -> int:
+    """Static per-frame block bound for the aligned stream: the sorted
+    stream can hold at most min(m * copies-per-gaussian, tiles * cap)
+    composited entries, plus <1 alignment block per tile (and every tile
+    owns at least one block so empty tiles still render background)."""
+    per_g = settings.tiles_per_gaussian
+    if settings.copy_budget_factor:
+        per_g = min(per_g, settings.copy_budget_factor)
+    s_bound = min(m * per_g, settings.n_tiles * settings.gaussian_cap)
+    return s_bound // settings.chunk + settings.n_tiles
+
+
+def bin_gaussians_stream(proj: Projected,
+                         settings: RasterSettings) -> StreamBins:
+    """Chunk-aligned stream binning for the stream-resident kernels."""
+    (gauss_sorted, bounds, coverage_clipped, budget_dropped,
+     src_len) = _sorted_copy_stream(proj, settings)
+    t_n = settings.n_tiles
+    chunk = settings.chunk
+    cap = settings.gaussian_cap
+    m = proj.mean2d.shape[0]
+
+    tile_start = bounds[:-1]
+    tile_count = bounds[1:] - bounds[:-1]
+    counts = jnp.minimum(tile_count, cap)
+    dropped = jnp.maximum(tile_count - cap, 0)
+    overflow = dropped.sum() + coverage_clipped + budget_dropped
+
+    nblk = jnp.maximum(-(-counts // chunk), 1)
+    blk_end = jnp.cumsum(nblk)
+    blk_start = blk_end - nblk
+
+    b_max = stream_blocks_max(settings, m)
+    b = jnp.arange(b_max, dtype=jnp.int32)
+    d = jnp.searchsorted(blk_end, b, side="right").astype(jnp.int32)
+    live_b = b < blk_end[-1]
+    d_c = jnp.minimum(d, t_n - 1)
+    blk_tile = jnp.where(live_b, d_c, -1)
+    blk_cc = jnp.where(live_b, b - blk_start[d_c], 0)
+
+    q = jnp.arange(b_max * chunk, dtype=jnp.int32)
+    dt = jnp.repeat(blk_tile, chunk)
+    dt_c = jnp.maximum(dt, 0)
+    j = q - jnp.repeat(blk_start[d_c], chunk) * chunk
+    valid = (dt >= 0) & (j < counts[dt_c])
+    src = jnp.clip(tile_start[dt_c] + j, 0, src_len - 1)
+    ids = jnp.where(valid, gauss_sorted[src], -1)
+
+    return StreamBins(ids=ids, blk_tile=blk_tile, blk_cc=blk_cc,
+                      nblk=nblk, counts=counts, dropped=dropped,
+                      overflow=overflow, n_rendered=counts.sum())
 
 
 # Post-composite transmittance above which a dropped (deepest) copy could

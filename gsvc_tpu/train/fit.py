@@ -194,9 +194,9 @@ class GOPFitter:
     def _build_step(self):
         d = self.dataset
         # pallas kernels only on real TPU (interpret mode is for tests)
-        rasterizer = "pallas_train" if (
+        rasterizer = self.cfg.pipeline.rasterizer or ("pallas_train" if (
             self.cfg.pipeline.use_pallas
-            and jax.default_backend() == "tpu") else "jnp"
+            and jax.default_backend() == "tpu") else "jnp")
         if self.mesh is not None:
             from gsvc_tpu.parallel.spmd import make_spmd_train_step
 
