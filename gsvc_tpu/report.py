@@ -27,8 +27,10 @@ def _make_eval_render(cfg: GaussianConfig, settings: RasterSettings,
                       scale: float, mode: GenerateMode, decoded: bool):
     """One jitted fwd+bwd averaged frame render (Pallas early-exit kernel
     on real TPUs — the decode-FPS fast path)."""
-    rasterizer = "pallas" if (jax.default_backend() == "tpu"
-                              and settings.chunk % 128 == 0) else "jnp"
+    import os
+    rasterizer = os.environ.get("GSVC_RASTERIZER") or (
+        "pallas" if (jax.default_backend() == "tpu"
+                     and settings.chunk % 128 == 0) else "jnp")
 
     from gsvc_tpu.render.batched import render_frame_views
 

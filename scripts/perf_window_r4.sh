@@ -42,4 +42,15 @@ GSVC_MATMUL_DTYPE=bf16x2 timeout 2400 python scripts/profile_step_stages.py \
   > "$OUT/stages_bf16x2.json" 2> "$OUT/stages_bf16x2.err"
 say "stage profile bf16x2 rc=$?"
 
+say "bench stream"
+GSVC_RASTERIZER=pallas_stream timeout 2400 python bench.py \
+  > "$OUT/bench_stream.json" 2> "$OUT/bench_stream.err"
+say "bench stream rc=$?"
+
+say "bench stream + bf16x2"
+GSVC_RASTERIZER=pallas_stream GSVC_MATMUL_DTYPE=bf16x2 \
+  timeout 2400 python bench.py \
+  > "$OUT/bench_stream_bf16x2.json" 2> "$OUT/bench_stream_bf16x2.err"
+say "bench stream+bf16x2 rc=$?"
+
 say "perf window done"
