@@ -61,7 +61,8 @@ def main():
     state = update_anchor_bound(state, x_min, y_min, -T / 2 / scale)
     window_cap = 256 if small else 23_040   # flagship's actual window
     opt = OptimizationConfig()          # optical on, like the real fit
-    rasterizer = "pallas_train" if on_tpu else "jnp"
+    rasterizer = os.environ.get(
+        "GSVC_RASTERIZER", "pallas_train" if on_tpu else "jnp")
 
     adam = adam_init((state.anchors, state.nets))
     stats = init_stats(capacity, cfg.n_offsets)
@@ -94,10 +95,12 @@ def main():
         float(np.asarray(jax.tree.leaves(r)[0]).ravel()[0])
         return (time.perf_counter() - t0) / n
 
-    for cc in ({"gaussian_cap": 4096, "tiles_per_gaussian": 128},
-               {"gaussian_cap": 1024, "tiles_per_gaussian": 32},
-               {"gaussian_cap": 4096, "tiles_per_gaussian": 128,
-                "copy_budget_factor": 16}):
+    stage_plan = () if os.environ.get("GSVC_FSB_PLAN") == "stream" else (
+        {"gaussian_cap": 4096, "tiles_per_gaussian": 128},
+        {"gaussian_cap": 1024, "tiles_per_gaussian": 32},
+        {"gaussian_cap": 4096, "tiles_per_gaussian": 128,
+         "copy_budget_factor": 16})
+    for cc in stage_plan:
         settings = make_raster_settings(cfg, H, W, tile_h=8, tile_w=128,
                                         chunk=128, **cc)
         start, in_w = window_for_frame(state, cfg, 0.0, window_cap)
@@ -145,14 +148,27 @@ def main():
     # non-compositing cost; copy_budget_factor cuts its key count by
     # tiles_per_gaussian / factor)
     FP, STE = GenerateMode.FULL_PRECISION, GenerateMode.STE_ENTROPY
-    plan = [
-        ({"gaussian_cap": 4096, "tiles_per_gaussian": 128}, (FP, STE)),
-        ({"gaussian_cap": 1024, "tiles_per_gaussian": 32}, (FP, STE)),
-        ({"gaussian_cap": 1024, "tiles_per_gaussian": 32,
-          "copy_budget_factor": 8}, (FP,)),
-        ({"gaussian_cap": 4096, "tiles_per_gaussian": 128,
-          "copy_budget_factor": 16}, (FP,)),
-    ]
+    if os.environ.get("GSVC_FSB_PLAN") == "stream":
+        # stream-rasterizer decision set: the flagship shape with the
+        # compacted copy stream (its natural pairing: machinery scales
+        # with budget * window, not tiles * cap), plus the padded-stream
+        # ablation
+        plan = [
+            ({"gaussian_cap": 4096, "tiles_per_gaussian": 128,
+              "copy_budget_factor": 8}, (FP, STE)),
+            ({"gaussian_cap": 4096, "tiles_per_gaussian": 128,
+              "copy_budget_factor": 16}, (FP,)),
+            ({"gaussian_cap": 4096, "tiles_per_gaussian": 128}, (FP,)),
+        ]
+    else:
+        plan = [
+            ({"gaussian_cap": 4096, "tiles_per_gaussian": 128}, (FP, STE)),
+            ({"gaussian_cap": 1024, "tiles_per_gaussian": 32}, (FP, STE)),
+            ({"gaussian_cap": 1024, "tiles_per_gaussian": 32,
+              "copy_budget_factor": 8}, (FP,)),
+            ({"gaussian_cap": 4096, "tiles_per_gaussian": 128,
+              "copy_budget_factor": 16}, (FP,)),
+        ]
     for cc, modes in plan:
         for mode in modes:
             settings = make_raster_settings(

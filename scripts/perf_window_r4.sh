@@ -53,4 +53,10 @@ GSVC_RASTERIZER=pallas_stream GSVC_MATMUL_DTYPE=bf16x2 \
   > "$OUT/bench_stream_bf16x2.json" 2> "$OUT/bench_stream_bf16x2.err"
 say "bench stream+bf16x2 rc=$?"
 
+say "flagship-shape step bench (stream plan)"
+GSVC_FSB_PLAN=stream GSVC_RASTERIZER=pallas_stream \
+  timeout 3000 python scripts/flagship_step_bench.py \
+  > "$OUT/fsb_stream.json" 2> "$OUT/fsb_stream.err"
+say "fsb stream rc=$?"
+
 say "perf window done"
