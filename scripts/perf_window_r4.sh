@@ -42,6 +42,11 @@ GSVC_MATMUL_DTYPE=bf16x2 timeout 2400 python scripts/profile_step_stages.py \
   > "$OUT/stages_bf16x2.json" 2> "$OUT/stages_bf16x2.err"
 say "stage profile bf16x2 rc=$?"
 
+say "stream parity on hardware"
+timeout 1800 python scripts/stream_parity_tpu.py \
+  > "$OUT/stream_parity.json" 2> "$OUT/stream_parity.err"
+say "stream parity rc=$? $(cat "$OUT/stream_parity.json" 2>/dev/null | tail -c 300)"
+
 say "bench stream"
 GSVC_RASTERIZER=pallas_stream timeout 2400 python bench.py \
   > "$OUT/bench_stream.json" 2> "$OUT/bench_stream.err"
