@@ -677,7 +677,8 @@ def fit_gops(mesh: Mesh, cfg, datasets, iterations: Optional[int] = None,
         tile_w=cfg.pipeline.tile_w,
         gaussian_cap=cfg.pipeline.visible_capacity or 1024,
         chunk=cfg.pipeline.gaussian_chunk)
-    rasterizer = "pallas_train" if jax.default_backend() == "tpu" else "jnp"
+    rasterizer = cfg.pipeline.rasterizer or (
+        "pallas_train" if jax.default_backend() == "tpu" else "jnp")
 
     def build_step():
         return make_gop_parallel_step(

@@ -262,3 +262,33 @@ def test_per_view_m2d_gradients_match_mirror():
     g_s = jax.grad(loss_s)(m2d)
     np.testing.assert_allclose(np.asarray(g_s), np.asarray(g_m),
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_spmd_step_with_stream_rasterizer():
+    """The stream kernels trace and run inside the dp x sp shard_map
+    (virtual 8-device mesh) and agree with the jnp spmd step's loss."""
+    import jax.numpy as jnp_
+    from gsvc_tpu.models.gaussians import GenerateMode
+    from tests.test_parallel import _spmd_setup
+
+    losses = {}
+    for r in ("jnp", "pallas_stream"):
+        from gsvc_tpu.parallel.spmd import make_spmd_train_step
+        (cfg, state, settings, mesh, opt, _step, adam, stats,
+         lrs) = _spmd_setup(seed=7)
+        from tests.test_parallel import GEOM as PGEOM
+        step = make_spmd_train_step(
+            cfg, settings, 32, opt, width=32, height=24, **PGEOM,
+            mesh=mesh, rasterizer=r)
+        rng = np.random.default_rng(0)
+        gt = jnp_.asarray(rng.uniform(0.2, 0.8, (2, 3, 24, 32)),
+                          jnp_.float32)
+        flow0 = jnp_.zeros((2, 2, 24, 32))
+        keys = jax.random.split(jax.random.PRNGKey(0), 2)
+        state, adam, stats, metrics = step(
+            state, adam, stats, lrs, jnp_.zeros(2), jnp_.full(2, 0.01),
+            gt, gt, flow0, keys, mode=GenerateMode.FULL_PRECISION)
+        losses[r] = float(metrics.loss)
+    np.testing.assert_allclose(losses["pallas_stream"], losses["jnp"],
+                               rtol=1e-4)
