@@ -48,20 +48,25 @@ def _blob_center(b, t):
             b["cy"] + b["vy"] * t + 0.5 * b["ax"] * np.cos(b["wx"] * t))
 
 
-def render_frame(t, w, h, blobs, pan, grids):
+def render_frame(t, w, h, blobs, pan, grids, detail=1.0):
     xx, yy = grids
     # panning background: 3 color bands of low-frequency sinusoids + a
-    # fine texture component (gives the codec real high-frequency content)
+    # fine texture component (gives the codec real high-frequency
+    # content).  ``detail`` scales every high-frequency component: 1.0
+    # reproduces the round-3 GOP (~6.7 bpp lossless-PNG, far above the
+    # 2-4 bpp of natural 1080p video — artifacts/rd_r3/
+    # content_anchor.json); ~0.25 lands in the natural-video entropy
+    # band, where the reference's 30+ dB UVG operating points live.
     bx = (xx + pan[0] * t) / w
     by = (yy + pan[1] * t) / h
     img = np.empty((h, w, 3), np.float32)
     img[..., 0] = 0.45 + 0.25 * np.sin(2.1 * np.pi * bx + 1.3) \
-        + 0.10 * np.sin(9.0 * np.pi * by + 0.4)
+        + detail * 0.10 * np.sin(9.0 * np.pi * by + 0.4)
     img[..., 1] = 0.50 + 0.22 * np.sin(1.7 * np.pi * (bx + by) + 2.9) \
-        + 0.08 * np.sin(13.0 * np.pi * bx)
+        + detail * 0.08 * np.sin(13.0 * np.pi * bx)
     img[..., 2] = 0.40 + 0.28 * np.cos(2.6 * np.pi * by + 0.7) \
-        + 0.09 * np.sin(7.0 * np.pi * (bx - by) + 1.1)
-    tex = 0.05 * np.sin(80 * np.pi * bx) * np.sin(64 * np.pi * by)
+        + detail * 0.09 * np.sin(7.0 * np.pi * (bx - by) + 1.1)
+    tex = detail * 0.05 * np.sin(80 * np.pi * bx) * np.sin(64 * np.pi * by)
     img += tex[..., None]
 
     flow = np.empty((2, h, w), np.float32)
@@ -87,8 +92,8 @@ def render_frame(t, w, h, blobs, pan, grids):
         d2 = u * u + v * v
         alpha = np.exp(-2.5 * np.maximum(d2 - 0.55, 0.0)).astype(np.float32)
         alpha[d2 > 4.0] = 0.0
-        btex = 0.12 * np.sin(b["tex_f"] * (ct * dx + st * dy)
-                             + b["phase"])
+        btex = detail * 0.12 * np.sin(b["tex_f"] * (ct * dx + st * dy)
+                                      + b["phase"])
         col = b["color"][None, None, :] + btex[..., None]
         img[y0:y1, x0:x1] = (img[y0:y1, x0:x1] * (1 - alpha[..., None])
                              + col * alpha[..., None])
@@ -109,6 +114,7 @@ def main():
     ap.add_argument("--frames", type=int, default=600)
     ap.add_argument("--blobs", type=int, default=10)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--detail", type=float, default=1.0)
     args = ap.parse_args()
 
     from PIL import Image
@@ -132,7 +138,7 @@ def main():
         if png.exists() and (t == args.frames - 1 or pkl.exists()):
             continue  # resume after an interrupted generation
         img, flow = render_frame(t, args.width, args.height, blobs, pan,
-                                 (xx, yy))
+                                 (xx, yy), detail=args.detail)
         Image.fromarray((img * 255 + 0.5).astype(np.uint8)).save(
             fdir / f"{t:05d}.png", compress_level=1)
         if t < args.frames - 1:
