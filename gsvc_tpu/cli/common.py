@@ -23,6 +23,12 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--iterations", type=int, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--quiet", action="store_true")
+    p.add_argument("--set", dest="overrides", action="append", default=[],
+                   metavar="SECTION.KEY=VALUE",
+                   help="generic dotted config override applied after the "
+                        "YAML overlay, e.g. --set pipeline.rasterizer="
+                        "pallas_stream --set pipeline.copy_budget_factor=8 "
+                        "(repeatable; values parsed as YAML scalars)")
     return p
 
 
@@ -42,7 +48,18 @@ def enable_compilation_cache():
 
 def resolve_config(args) -> Config:
     enable_compilation_cache()
-    cfg = load_config(args.config_path)
+    overrides = None
+    if getattr(args, "overrides", None):
+        import yaml
+
+        overrides = {}
+        for spec in args.overrides:
+            key, _, val = spec.partition("=")
+            if "." not in key or not _:
+                raise SystemExit(
+                    f"--set expects SECTION.KEY=VALUE, got {spec!r}")
+            overrides[key.strip()] = yaml.safe_load(val)
+    cfg = load_config(args.config_path, overrides=overrides)
     cfg.pipeline.source_path = args.source_path
     cfg.pipeline.optical_path = args.optical_path
     cfg.pipeline.model_path = args.model_path

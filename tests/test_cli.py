@@ -159,3 +159,25 @@ def test_stream_cli(trained, video_dir, cfg_file, tmp_path_factory):
     assert results["z_slices"] >= 1
     assert results["bpp"] > 0
     assert np.isfinite(results["psnr"])
+
+
+def test_set_overrides_parse():
+    """--set SECTION.KEY=VALUE dotted overrides (YAML-scalar values)."""
+    from gsvc_tpu.cli.common import base_parser, resolve_config
+
+    args = base_parser("t").parse_args([
+        "--model_path", "/tmp/x",
+        "--set", "pipeline.rasterizer=pallas_stream",
+        "--set", "pipeline.copy_budget_factor=8",
+        "--set", "optimization.lmbda=0.002",
+    ])
+    cfg = resolve_config(args)
+    assert cfg.pipeline.rasterizer == "pallas_stream"
+    assert cfg.pipeline.copy_budget_factor == 8
+    assert cfg.optimization.lmbda == 0.002
+
+    import pytest as _pytest
+    bad = base_parser("t").parse_args(
+        ["--model_path", "/tmp/x", "--set", "nodots"])
+    with _pytest.raises(SystemExit):
+        resolve_config(bad)
