@@ -292,3 +292,15 @@ def test_spmd_step_with_stream_rasterizer():
         losses[r] = float(metrics.loss)
     np.testing.assert_allclose(losses["pallas_stream"], losses["jnp"],
                                rtol=1e-4)
+
+
+def test_stream_with_copy_budget_matches_mirror():
+    """Compacted copy-stream binning + stream kernels: same images as the
+    padded-layout mirror path while nothing exceeds the budget."""
+    import dataclasses
+    s = dataclasses.replace(SETTINGS, copy_budget_factor=8)
+    frames = [_frame_inputs(seed=8, settings=s),
+              _frame_inputs(seed=9, frame_z=0.02, settings=s)]
+    out_m, out_s, sbs, _ = _both_outputs(frames, settings=s)
+    np.testing.assert_allclose(np.asarray(out_s), np.asarray(out_m),
+                               atol=1e-6)
