@@ -146,8 +146,13 @@ def _fwd_kernel_stream(blk_tile_ref, blk_cc_ref, nblk_ref, stream_ref,
             t_before = t_carry * excl                     # [C, P] fp32
             w = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
             col_r, col_g, col_b = scalars[6:9]
-            cols3 = jnp.concatenate(
-                [col_r[None, :], col_g[None, :], col_b[None, :]], axis=0)
+            # masked-iota assembly: Mosaic concatenate cannot relayout
+            # inputs with mismatched vregister offsets (sublane slices
+            # of the stream block) — broadcasts/selects can
+            ri = jax.lax.broadcasted_iota(jnp.int32, (3, chunk), 0)
+            cols3 = (jnp.where(ri == 0, col_r[None, :], 0.0)
+                     + jnp.where(ri == 1, col_g[None, :], 0.0)
+                     + jnp.where(ri == 2, col_b[None, :], 0.0))
             acc_scr[...] = acc_scr[...] + _mm(cols3, w)   # MXU [3, P]
             t_scr[...] = t_carry * chunk_t
 
@@ -212,8 +217,16 @@ def _bwd_kernel_stream(blk_tile_ref, blk_cc_ref, nblk_ref, stream_ref,
             live = t_before >= T_EPS
             w = jnp.where(live, alpha32 * t_before, 0.0)
             col_r, col_g, col_b = scalars[6:9]
-            c3 = jnp.concatenate([col_r[:, None], col_g[:, None],
-                                  col_b[:, None]], axis=1)     # [C, 3]
+            # masked-iota assembly (Mosaic concatenate cannot relayout
+            # mismatched offsets); gc MUST go through the same MXU
+            # matmul as the mirror backward — a VPU broadcast-FMA form
+            # is exact f32 while the MXU f32 path is multipass-bf16,
+            # and that drift amplifies through the quadratic basis into
+            # O(10) absolute conic-gradient deviations (measured on v5e)
+            ci = jax.lax.broadcasted_iota(jnp.int32, (chunk, 3), 1)
+            c3 = (jnp.where(ci == 0, col_r[:, None], 0.0)
+                  + jnp.where(ci == 1, col_g[:, None], 0.0)
+                  + jnp.where(ci == 2, col_b[:, None], 0.0))   # [C, 3]
             gc = mm(c3, g3)                                    # [C, P]
             wgc = w * gc
             a_i = a_scr[...] + mm(tri_bwd, wgc)                # suffix
@@ -246,15 +259,20 @@ def _bwd_kernel_stream(blk_tile_ref, blk_cc_ref, nblk_ref, stream_ref,
             d_op = -2.0 * m0 / safe_op
             dcol = mm_rhs_t(w, g3)                             # [C, 3]
 
-            rows = jnp.concatenate([
-                d_mux[:, 0][None, :], d_muy[:, 0][None, :],
-                d_cona[:, 0][None, :], d_conb[:, 0][None, :],
-                d_conc[:, 0][None, :], d_op[:, 0][None, :],
-                dcol[:, 0][None, :], dcol[:, 1][None, :],
-                dcol[:, 2][None, :],
-                jnp.zeros((_STREAM_ROWS - _N_ATTR, chunk), jnp.float32),
-            ], axis=0)
-            gs_ref[0, :, :] = rows
+            # per-row stores: the 10-input concatenate of lane-sliced
+            # columns fails Mosaic compilation ("result/input offset
+            # mismatch on non-concat dimension") — stores relayout
+            gs_ref[0, 0:1, :] = d_mux[:, 0][None, :]
+            gs_ref[0, 1:2, :] = d_muy[:, 0][None, :]
+            gs_ref[0, 2:3, :] = d_cona[:, 0][None, :]
+            gs_ref[0, 3:4, :] = d_conb[:, 0][None, :]
+            gs_ref[0, 4:5, :] = d_conc[:, 0][None, :]
+            gs_ref[0, 5:6, :] = d_op[:, 0][None, :]
+            gs_ref[0, 6:7, :] = dcol[:, 0][None, :]
+            gs_ref[0, 7:8, :] = dcol[:, 1][None, :]
+            gs_ref[0, 8:9, :] = dcol[:, 2][None, :]
+            gs_ref[0, _N_ATTR:, :] = jnp.zeros(
+                (_STREAM_ROWS - _N_ATTR, chunk), jnp.float32)
             a_scr[...] = a_scr[...] + jnp.sum(wgc, axis=0, keepdims=True)
 
         @pl.when(jnp.max(t_start) < T_EPS)

@@ -108,6 +108,11 @@ def main():
         "out4": diff(out_m, out_s),
         "d_attrs": diff(ga_m, ga_s),
         "d_m2d": diff(gm_m, gm_s),
+        # per-attribute breakdown (mux,muy,cona,conb,conc,op,r,g,b):
+        # pinpoints which gradient ROW of the stream backward is off
+        "d_attrs_by_col": [
+            diff(np.asarray(ga_m)[..., i], np.asarray(ga_s)[..., i])
+            for i in range(ga_m.shape[-1])],
     }
     # forward images are bitwise-equal in practice (identical chunk op
     # sequence); gradients agree only to f32 accumulation noise — the
