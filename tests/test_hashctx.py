@@ -1,0 +1,86 @@
+"""Context-modeled hash-table codec (codec/hashctx.py).
+
+The reference codes hash sign bits with one global Bernoulli probability
+(utils/encodings.py:265-304); measured on a real fitted table the
+feature-channel context model is ~25% smaller.  These tests pin the
+round-trip exactness and the compression win on correlated bits.
+"""
+
+import numpy as np
+import pytest
+
+from gsvc_tpu.codec.hashctx import (
+    decode_hash_table, encode_hash_table, n_contexts,
+)
+from gsvc_tpu.codec.native import encode_binary
+
+LEVELS = [512, 1024, 2048, 4096]
+
+
+def _roundtrip(bits):
+    blob = encode_hash_table(bits, LEVELS)
+    dec = decode_hash_table(blob, LEVELS, bits.shape[1])
+    assert dec.dtype == np.uint8
+    assert np.array_equal(dec, bits)
+    return blob
+
+
+def test_roundtrip_iid():
+    rng = np.random.default_rng(0)
+    bits = (rng.random((sum(LEVELS), 8)) < 0.42).astype(np.uint8)
+    _roundtrip(bits)
+
+
+def test_roundtrip_degenerate_planes():
+    bits = np.zeros((sum(LEVELS), 4), np.uint8)
+    bits[:, 1] = 1  # all-ones plane; all-zeros planes around it
+    _roundtrip(bits)
+
+
+def test_correlated_bits_beat_global_bernoulli():
+    rng = np.random.default_rng(1)
+    n = sum(LEVELS)
+    # channel c repeats channel c-1 with 10% flips: strongly predictable
+    # by the prev-feature context, invisible to a global Bernoulli (the
+    # marginal stays ~0.5)
+    bits = np.empty((n, 8), np.uint8)
+    bits[:, 0] = rng.random(n) < 0.5
+    for c in range(1, 8):
+        flip = rng.random(n) < 0.1
+        bits[:, c] = bits[:, c - 1] ^ flip
+    blob = _roundtrip(bits)
+    flat = bits.reshape(-1)
+    global_stream = encode_binary(flat, float(flat.mean()))
+    assert len(blob) < 0.62 * len(global_stream), (
+        len(blob), len(global_stream))
+
+
+def test_level_bias_captured():
+    rng = np.random.default_rng(2)
+    parts = [
+        (rng.random((s, 4)) < p).astype(np.uint8)
+        for s, p in zip(LEVELS, (0.05, 0.9, 0.3, 0.5))
+    ]
+    bits = np.concatenate(parts)
+    blob = _roundtrip(bits)
+    flat = bits.reshape(-1)
+    global_stream = encode_binary(flat, float(flat.mean()))
+    assert len(blob) < 0.92 * len(global_stream)
+
+
+def test_header_size_accounting():
+    bits = np.zeros((sum(LEVELS), 8), np.uint8)
+    blob = encode_hash_table(bits, LEVELS)
+    nc = n_contexts(len(LEVELS), 8)
+    header = 3 + 2 * nc + 4 * 8
+    assert len(blob) >= header
+    # all-zero planes cost almost nothing beyond the header
+    assert len(blob) < header + 8 * 16
+
+
+def test_bad_version_rejected():
+    bits = np.zeros((sum(LEVELS), 2), np.uint8)
+    blob = bytearray(encode_hash_table(bits, LEVELS))
+    blob[0] = 9
+    with pytest.raises(AssertionError):
+        decode_hash_table(bytes(blob), LEVELS, 2)
