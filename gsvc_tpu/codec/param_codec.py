@@ -45,9 +45,16 @@ def _quantize_axis(t: np.ndarray, bits: int, axis: int):
             lo = hi = 0.0
         s = (hi - lo) / (2 ** bits)
         q = np.round((t64 - lo) / (s + 1e-19))
-        deq = lo + s * q
+        # lo/s ship as float32 (the 28 KB of pickled per-group float64
+        # lists were 9% of the MLP stream); dequantize from the SNAPPED
+        # values so live params stay bit-identical to the decoder's
+        lo32 = np.float32(lo)
+        s32 = np.float32(s)
+        deq = np.float64(lo32) + np.float64(s32) * q
         new = np.where(valid, deq, 0.0).astype(np.float32)
-        return q.astype(np.int64), valid, new, {"t_min": [lo], "scale": [s]}
+        return (q.astype(np.int64), valid, new,
+                {"t_min": np.asarray([lo32], np.float32),
+                 "scale": np.asarray([s32], np.float32)})
     # per-group along axis (our Linear weights are [in, out]; quantize per
     # OUTPUT dim, i.e. axis=1 — the reference's per-first-dim on [out, in])
     n = t.shape[axis]
@@ -62,11 +69,15 @@ def _quantize_axis(t: np.ndarray, bits: int, axis: int):
         s = (hi - lo) / (2 ** bits)
         qq = np.round((sub - lo) / (s + 1e-19))
         q[sl] = qq
-        new[sl] = np.where(sub != 0, lo + s * qq, 0.0)
-        mins.append(lo)
-        scales.append(s)
+        lo32 = np.float32(lo)
+        s32 = np.float32(s)
+        new[sl] = np.where(sub != 0,
+                           np.float64(lo32) + np.float64(s32) * qq, 0.0)
+        mins.append(lo32)
+        scales.append(s32)
     return (q.astype(np.int64), valid, new.astype(np.float32),
-            {"t_min": mins, "scale": scales})
+            {"t_min": np.asarray(mins, np.float32),
+             "scale": np.asarray(scales, np.float32)})
 
 
 def _pack_bits(mask: np.ndarray) -> bytes:
