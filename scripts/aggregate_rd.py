@@ -26,7 +26,8 @@ PUBLISHED_UVG = {
 def main(root: str) -> dict:
     rootp = pathlib.Path(root)
     points = []
-    for d in sorted(rootp.glob("lmbda_*")):
+    for d in sorted(list(rootp.glob("lmbda_*"))
+                    + list(rootp.glob("natural_*"))):
         res = d / "results.json"
         if not res.exists():
             print(f"[skip] {d.name}: no results.json (run incomplete)")
@@ -62,8 +63,15 @@ def main(root: str) -> dict:
     mono_psnr = all(by_bpp[i]["psnr"] <= by_bpp[i + 1]["psnr"]
                     for i in range(len(by_bpp) - 1))
 
+    strides = {p.get("eval_stride") for p in points}
     out = {
         "points": points,
+        # one shared eval protocol across all curve points (VERDICT r4
+        # item 9): every round-5 fit evaluates at eval_stride 2
+        "eval_protocol": ({"eval_stride": strides.pop()}
+                          if len(strides) == 1
+                          else {"MIXED_STRIDES": sorted(
+                              strides, key=lambda s: (s is None, s))}),
         "monotone_rate_in_lambda": mono_rate,
         "monotone_psnr_in_bpp": mono_psnr,
         "published_reference": PUBLISHED_UVG,
