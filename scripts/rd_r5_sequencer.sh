@@ -16,14 +16,21 @@ LMBDAS=("${@:-0.004 0.016 0.001}")
 SEQLOG=/tmp/rd_r5_seq.log
 say() { echo "[rd5] $(date -u +%H:%M:%S) $*" >> "$SEQLOG"; }
 
-# rasterizer decision from the A/B gate (flip_stream file written after
-# artifacts/perf_r5/bench_stream.json beats bench_train.json)
+# perf-gate decisions (flag files written after the A/B benches land):
+# use_stream -> stream rasterizer (r5 verdict: LOST, flag not written);
+# use_bf16x2 -> bf16x2 compositing matmuls
 RASTER_ENV=()
 if [ -f /root/repo/artifacts/perf_r5/use_stream ]; then
-  RASTER_ENV=(GSVC_RASTERIZER=pallas_stream)
+  RASTER_ENV+=(GSVC_RASTERIZER=pallas_stream)
+fi
+if [ -f /root/repo/artifacts/perf_r5/use_bf16x2 ]; then
+  RASTER_ENV+=(GSVC_MATMUL_DTYPE=bf16x2)
 fi
 
-while kill -0 "$(cat /tmp/ab.pid 2>/dev/null)" 2>/dev/null; do sleep 60; done
+while kill -0 "$(cat /tmp/ab.pid 2>/dev/null)" 2>/dev/null || \
+      kill -0 "$(cat /tmp/ab2.pid 2>/dev/null)" 2>/dev/null; do
+  sleep 60
+done
 say "TPU free; rasterizer env: ${RASTER_ENV[*]:-default}"
 
 snapshot() {
