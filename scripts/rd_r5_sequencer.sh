@@ -28,7 +28,8 @@ if [ -f /root/repo/artifacts/perf_r5/use_bf16x2 ]; then
 fi
 
 while kill -0 "$(cat /tmp/ab.pid 2>/dev/null)" 2>/dev/null || \
-      kill -0 "$(cat /tmp/ab2.pid 2>/dev/null)" 2>/dev/null; do
+      kill -0 "$(cat /tmp/ab2.pid 2>/dev/null)" 2>/dev/null || \
+      kill -0 "$(cat /tmp/ab3.pid 2>/dev/null)" 2>/dev/null; do
   sleep 60
 done
 say "TPU free; rasterizer env: ${RASTER_ENV[*]:-default}"
