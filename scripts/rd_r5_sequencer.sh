@@ -43,8 +43,9 @@ snapshot() {
 }
 
 run_fit() {  # $1 = lmbda, $2 = outdir
-  local lmbda="$1" DIR="$2"
-  mkdir -p "$DIR"
+  local lmbda="$1" DIR
+  mkdir -p "$2"
+  DIR="$(readlink -f "$2")"   # the launch subshell cd's to the snapshot
   touch "$DIR/output.log"
   local launch_fit
   launch_fit() {
@@ -57,7 +58,7 @@ run_fit() {  # $1 = lmbda, $2 = outdir
         python -m gsvc_tpu.cli.train \
         --source_path /root/data/gopnat/frames \
         --optical_path /root/data/gopnat/flow \
-        --model_path "$(readlink -f "$DIR")" \
+        --model_path "$DIR" \
         --config_path /root/.fitsnap/cfgs/cfg_20240919_8k.yaml \
         --lmbda "$lmbda" \
         --checkpoint_iterations 2000 4000 6000 \
