@@ -42,7 +42,23 @@ def _make_eval_render(cfg: GaussianConfig, settings: RasterSettings,
             inference=True)
         return avg
 
-    return render
+    @jax.jit
+    def render_chunk(state: ModelState, frame_zs):
+        """K frames in ONE dispatch (lax.fori_loop over the frame render)
+        — through the axon tunnel each dispatch costs ~100-300 ms of RPC,
+        which at 600 frames dominated decode wall-clock (r4 flagship:
+        2.2 fps per-call vs ~20 device-fps)."""
+        k = frame_zs.shape[0]
+        h = settings.image_height
+        w = settings.image_width
+        out = jnp.zeros((k, 3, h, w), jnp.float32)
+
+        def body(i, acc):
+            return acc.at[i].set(render(state, frame_zs[i]))
+
+        return jax.lax.fori_loop(0, k, body, out)
+
+    return render, render_chunk
 
 
 def evaluate_video(state: ModelState, cfg: GaussianConfig,
@@ -60,8 +76,9 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
     — when given, LPIPS joins PSNR/SSIM/MS-SSIM in the report (the
     reference evaluates it on every full-video eval,
     utils/report_utils.py:331-356)."""
-    render = _make_eval_render(cfg, settings, window_cap, x_min, y_min,
-                               scale, mode, decoded)
+    render, render_chunk = _make_eval_render(cfg, settings, window_cap,
+                                             x_min, y_min, scale, mode,
+                                             decoded)
 
     # compile outside the timed loop
     img = render(state, jnp.asarray(float(frame_zs[0])))
@@ -78,8 +95,9 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
     # budget.  Renders within a chunk stay async (fps is the summed
     # dispatch+sync time of the render phases only); metrics and host
     # copies run between chunks.
-    chunk = 16
     n = len(frame_zs)
+    chunk = max(1, min(16, n))   # one padded program shape; tiny evals
+    #                              (CLI tests) stay un-padded
     can_msssim = compute_msssim and img.shape[1] >= 176 \
         and img.shape[2] >= 176
     dump_out = None
@@ -91,10 +109,18 @@ def evaluate_video(state: ModelState, cfg: GaussianConfig,
     render_time = 0.0
     for c0 in range(0, n, chunk):
         zs = frame_zs[c0:c0 + chunk]
+        # pad the tail chunk to the compiled length (one program shape);
+        # padded slots re-render the last z and are sliced off below
+        zs_pad = np.full(chunk, float(zs[-1]), np.float32)
+        zs_pad[:len(zs)] = np.asarray(zs, np.float32)
         t0 = time.perf_counter()
-        imgs = [render(state, jnp.asarray(float(fz))) for fz in zs]
-        jax.block_until_ready(imgs[-1])
+        stack = render_chunk(state, jnp.asarray(zs_pad))
+        # sync on ONE element: block_until_ready is unreliable through
+        # the axon tunnel and a full-stack pull would time the 400 MB
+        # HTTP transfer, not the render (CLAUDE.md measurement rules)
+        float(np.asarray(stack[0, 0, 0, 0]))
         render_time += time.perf_counter() - t0
+        imgs = [stack[i] for i in range(len(zs))]
         # one device->host pull per CHUNK, not 3-4 scalar RPCs per frame
         # (each float() through the axon tunnel costs ~100-300 ms; at 600
         # frames that was minutes of pure RPC overhead)

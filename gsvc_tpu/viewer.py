@@ -42,8 +42,9 @@ class ViewerServer:
 
         mode = GenerateMode.DECODED if decoded \
             else GenerateMode.FULL_PRECISION
-        self._render = _make_eval_render(cfg, settings, window_cap, x_min,
-                                         y_min, scale, mode, decoded)
+        self._render, _ = _make_eval_render(cfg, settings, window_cap,
+                                            x_min, y_min, scale, mode,
+                                            decoded)
         self._state = state
         self._frame_zs = np.asarray(frame_zs)
         self._cache = {}
