@@ -183,16 +183,29 @@ def main():
         scaling=state.anchors.scaling - float(np.log(4.0))))
     rep_its = timed_chunk(GenerateMode.FULL_PRECISION, base_state=state_rep)
 
-    # decode fps: full-frame reconstruction with the inference kernel
-    from gsvc_tpu.render.batched import render_frame_views
+    # decode fps: full-frame reconstruction with the inference kernel.
+    # GSVC_DECODE selects the kernel: "bidir" (v4 fused fwd/flip-average,
+    # one alpha evaluation per copy x pixel) or "mirror" (v3 two-view).
+    # Parity: tests/test_bidir.py; A/B: scripts/probe_bidir_decode.py.
+    from gsvc_tpu.render.batched import render_frame_bidir, render_frame_views
 
-    @jax.jit
-    def decode_frame(st, z):
+    decode_kind = os.environ.get("GSVC_DECODE", "bidir")
+
+    def _decode_img(st, z):
+        if decode_kind == "bidir" and raster_inf != "pallas_stream":
+            img, _, _ = render_frame_bidir(
+                st, cfg, z, x_min, y_min, scale, settings, window_cap,
+                mode=GenerateMode.FULL_PRECISION, rasterizer=raster_inf)
+            return img
         img, _, _, _ = render_frame_views(
             st, cfg, z, x_min, y_min, scale, settings, window_cap,
             mode=GenerateMode.FULL_PRECISION,
             rasterizer=raster_inf, inference=True)
         return img
+
+    @jax.jit
+    def decode_frame(st, z):
+        return _decode_img(st, z)
 
     img = decode_frame(state, jnp.asarray(0.0))
     float(np.asarray(img[0, 0, 0]))
@@ -213,10 +226,7 @@ def main():
     @_ft.partial(jax.jit, static_argnames=("n",))
     def decode_loop(st, n):
         def body(i, acc):
-            img, _, _, _ = render_frame_views(
-                st, cfg, jnp.float32(0.001) * i, x_min, y_min, scale,
-                settings, window_cap, mode=GenerateMode.FULL_PRECISION,
-                rasterizer=raster_inf, inference=True)
+            img = _decode_img(st, jnp.float32(0.001) * i)
             return acc + img[0, 0, 0]
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
@@ -255,6 +265,7 @@ def main():
             "decode_fps_device": round(decode_fps_device, 2),
             "decode_fps_device_rep": round(decode_fps_device_rep, 2),
             "rasterizer": rasterizer,
+            "decode_kernel": decode_kind,
             "compute_dtype": settings.compute_dtype,
         },
     }))

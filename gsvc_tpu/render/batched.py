@@ -227,6 +227,54 @@ def render_frame_views(state: ModelState, cfg: GaussianConfig, frame_z,
     return avg, images, ts, aux
 
 
+def render_frame_bidir(state: ModelState, cfg: GaussianConfig, frame_z,
+                       x_min, y_min, scale, settings: RasterSettings,
+                       window_cap: int,
+                       mode: GenerateMode = GenerateMode.FULL_PRECISION,
+                       key: Optional[jax.Array] = None,
+                       rasterizer: str = "jnp", decoded: bool = False):
+    """Decode fast path: the fwd/flip-AVERAGED frame in ONE composite pass.
+
+    The decoded frame is defined as the average of the forward and
+    x-flipped (reverse-z-order) views (reference: report_utils.py:412-447);
+    render_frame_views composites both views (two alpha evaluations per
+    copy x pixel).  The bidirectional kernel (pallas_splat.py v4) computes
+    the average directly from the FORWARD tile lists with one alpha
+    evaluation, a front-prefix and a Horner back-suffix — and skips the
+    flip view's tile-list mirror + plane handling entirely.
+
+    Returns (avg image [3,H,W], total transmittance [H,W], aux).  Output
+    matches render_frame_views' avg to within the documented T_EPS bound
+    (exact when no early-exit truncation triggers).  Falls back to
+    render_frame_views on the jnp path / non-tile-aligned widths."""
+    if rasterizer not in ("pallas", "pallas_train", "pallas_stream") \
+            or not can_mirror(settings):
+        avg, _, ts, aux = render_frame_views(
+            state, cfg, frame_z, x_min, y_min, scale, settings, window_cap,
+            mode=mode, key=key, rasterizer=rasterizer, decoded=decoded,
+            inference=True)
+        return avg, ts[0], aux
+
+    from gsvc_tpu.render.pallas_splat import bidir_composite_attrs
+    from gsvc_tpu.render.splat import attr_rows_from_proj
+
+    start, in_window = window_for_frame(state, cfg, frame_z, window_cap)
+    gss = generate_neural_gaussians(
+        state, cfg, frame_z=frame_z, cam_z=frame_z, window_start=start,
+        in_window=in_window, cap=window_cap, mode=mode, key=key,
+        decoded=decoded)
+    proj = project_gaussians(gss.xyz, gss.scaling, gss.rot, gss.valid,
+                             frame_z, x_min, y_min, scale, settings,
+                             flip=False)
+    opacity = jnp.where(proj.valid[:, None], gss.opacity, 0.0)
+    tile_lists, counts, _, ovf, nrend = _bin_gaussians(proj, settings)
+    attrs = attr_rows_from_proj(proj, opacity, gss.color)
+    imgs, ts = bidir_composite_attrs(settings, attrs[None],
+                                     tile_lists[None], counts[None])
+    aux = (gss, start, in_window, proj.radius, ovf, nrend)
+    return imgs[0], ts[0], aux
+
+
 def _pair_entropy_contexts(state, cfg, s1, s2, cap: int, decoded: bool):
     """Entropy contexts for two overlapping TSW windows from ONE query.
 

@@ -1043,6 +1043,152 @@ mirror_composite_attrs.defvjp(_mca_fwd, _mca_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Bidirectional inference kernel (v4, decode path): the codec's decoded
+# frame is the AVERAGE of the forward and flip views (reference:
+# report_utils.py:412-447 renders both z directions and averages).  After
+# un-mirroring, the average at pixel p is
+#
+#   out(p) = 1/2 [ sum_i a_i c_i T_i  +  sum_i a_i c_i S_i ]
+#
+# over the SAME per-gaussian alphas a_i(p) of the FORWARD tile list, with
+# T_i the front prefix product of (1-a) and S_i the back suffix product.
+# So decode needs ONE alpha evaluation per (copy, pixel) — the mirror
+# kernel (v3) shares the plane DMA between the two view steps but still
+# evaluates alpha twice.  The suffix sum is accumulated front-to-back by
+# Horner's rule (W <- W * P_k + B_k with P_k the chunk's total
+# transmittance and B_k the chunk's intra-suffix-weighted color sum), so
+# there is no division and no overflow for arbitrarily deep stacks.
+#
+# Early exit stays optimal: a FRONT while-loop runs until the forward
+# transmittance saturates (covering both views' contributions of those
+# chunks), then a BACK while-loop walks from the last chunk down toward
+# the front stop, covering the flip view's remaining visible chunks.
+# Chunk evaluations = min(n_used, front_live + back_live) — never more
+# than the fused full pass and never more than the two views combined.
+# All dropped terms carry weight < T_EPS (the same bound every kernel in
+# this file documents); the splice multiplies the front chunks' Horner
+# sum by the back loop's final carry, which is exact when the loops meet
+# and < T_EPS-weighted otherwise.
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel_bidir(count_ref, *refs, settings: RasterSettings):
+    planes_refs = refs[:9]
+    out_ref = refs[9]
+    chunk = settings.chunk
+    n_chunks = settings.gaussian_cap // chunk
+    p_pix = settings.tile_h * settings.tile_w
+
+    g = pl.program_id(0)
+    u = g % settings.n_tiles
+    count = count_ref[g]
+    xs, ys, cx, cy = _tile_coords(settings, u)
+    tri_lo = _tri_excl_lower(chunk)
+    tri_up = _tri_excl_upper(chunk)
+    mm_tri, _, _ = _matmul_fns(settings)
+    n_used = jnp.minimum((count + chunk - 1) // chunk, n_chunks)
+
+    def load_chunk(c):
+        sl = pl.ds(pl.multiple_of(c * chunk, chunk), chunk)
+        scalars = _chunk_scalars(planes_refs, 0, sl, cx, cy)
+        alpha, _, _, _ = _chunk_alpha(scalars, xs, ys,
+                                      settings.compute_dtype)
+        alpha32 = alpha.astype(jnp.float32)
+        col_r, col_g, col_b = scalars[6:9]
+        cols3 = jnp.concatenate(
+            [col_r[None, :], col_g[None, :], col_b[None, :]], axis=0)
+        return alpha32, cols3                  # [C, P], [3, C]
+
+    # ---- front loop: fwd-view contributions + Horner back-accumulator
+    def f_body(state):
+        p, t_f, acc_f, acc_h = state
+        alpha32, cols3 = load_chunk(p)
+        l = jnp.log1p(-alpha32)
+        excl_lo = jnp.exp(mm_tri(tri_lo, l))
+        excl_up = jnp.exp(mm_tri(tri_up, l))
+        chunk_t = jnp.exp(jnp.sum(l, axis=0, keepdims=True))
+        t_before = t_f * excl_lo
+        w_f = jnp.where(t_before >= T_EPS, alpha32 * t_before, 0.0)
+        acc_f = acc_f + _mm(cols3, w_f)
+        acc_h = acc_h * chunk_t + _mm(cols3, alpha32 * excl_up)
+        return p + 1, t_f * chunk_t, acc_f, acc_h
+
+    def f_cond(state):
+        p, t_f, _, _ = state
+        return jnp.logical_and(p < n_used, jnp.max(t_f) >= T_EPS)
+
+    t0 = jnp.ones((1, p_pix), jnp.float32)
+    z3 = jnp.zeros((3, p_pix), jnp.float32)
+    p_stop, t_f, acc_f, acc_h = jax.lax.while_loop(
+        f_cond, f_body, (0, t0, z3, z3))
+
+    # ---- back loop: flip-view contributions of chunks past the front stop
+    def b_body(state):
+        q, t_b, acc_b = state
+        alpha32, cols3 = load_chunk(q)
+        l = jnp.log1p(-alpha32)
+        excl_up = jnp.exp(mm_tri(tri_up, l))
+        chunk_t = jnp.exp(jnp.sum(l, axis=0, keepdims=True))
+        s_before = t_b * excl_up
+        w_b = jnp.where(s_before >= T_EPS, alpha32 * s_before, 0.0)
+        acc_b = acc_b + _mm(cols3, w_b)
+        return q - 1, t_b * chunk_t, acc_b
+
+    def b_cond(state):
+        q, t_b, _ = state
+        return jnp.logical_and(q >= p_stop, jnp.max(t_b) >= T_EPS)
+
+    _, t_b, acc_b = jax.lax.while_loop(
+        b_cond, b_body, (n_used - 1, t0, z3))
+
+    tau = t_f * t_b                               # total transmittance
+    avg = 0.5 * (acc_f + acc_b + acc_h * t_b)
+    out_ref[0, 0:3, :] = avg + tau * settings.bg
+    out_ref[0, 3, :] = tau[0]
+
+
+def _bidir_call(settings: RasterSettings, planes, tile_counts):
+    """Run the bidirectional kernel over planes.shape[0] data tiles.
+
+    planes: 9 x [F*T, cap] FORWARD-view planes; tile_counts [F*T].
+    Returns out4 [F*T, 4, P]: rows 0:3 the fwd/flip-AVERAGED image tile,
+    row 3 the total per-pixel transmittance."""
+    _check_chunk(settings)
+    ft = planes[0].shape[0]
+    cap = settings.gaussian_cap
+    p = settings.tile_h * settings.tile_w
+    planes3 = tuple(q[:, None, :] for q in planes)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(ft,),
+        in_specs=[pl.BlockSpec((1, 1, cap), lambda g, counts: (g, 0, 0),
+                               memory_space=pltpu.VMEM)] * 9,
+        out_specs=[pl.BlockSpec((1, 4, p), lambda g, counts: (g, 0, 0),
+                                memory_space=pltpu.VMEM)],
+    )
+    res = pl.pallas_call(
+        functools.partial(_fwd_kernel_bidir, settings=settings),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((ft, 4, p), jnp.float32)],
+        interpret=jax.default_backend() != "tpu",
+    )(tile_counts, *planes3)
+    return res[0]
+
+
+def bidir_composite_attrs(settings: RasterSettings, attrs, tile_lists,
+                          counts):
+    """Fwd/flip-averaged decode composite straight from attribute rows.
+
+    attrs [F, M, 9], tile_lists [F, T, cap], counts [F, T].  Returns
+    ([F, 3, H, W] averaged images, [F, H, W] total transmittance).
+    Inference-only (no VJP): the training step needs the per-view images
+    for the loss, so it stays on mirror_composite_attrs."""
+    planes = _planes_from_attrs(attrs, tile_lists, None)
+    out4 = _bidir_call(settings, planes, counts.reshape(-1))
+    return assemble_views(settings, out4)
+
+
+# ---------------------------------------------------------------------------
 # Single-view drop-in APIs (tests, eval paths)
 # ---------------------------------------------------------------------------
 
