@@ -31,11 +31,20 @@ def _make_eval_render(cfg: GaussianConfig, settings: RasterSettings,
     rasterizer = os.environ.get("GSVC_RASTERIZER") or (
         "pallas" if (jax.default_backend() == "tpu"
                      and settings.chunk % 128 == 0) else "jnp")
+    # GSVC_DECODE: "bidir" (v4 one-alpha-pass fwd/flip average; parity in
+    # tests/test_bidir.py) or "mirror" (v3 two-view); bidir is decode-only
+    decode_kind = os.environ.get("GSVC_DECODE", "bidir")
 
-    from gsvc_tpu.render.batched import render_frame_views
+    from gsvc_tpu.render.batched import render_frame_bidir, render_frame_views
 
     @jax.jit
     def render(state: ModelState, frame_z):
+        if decode_kind == "bidir" and rasterizer != "pallas_stream":
+            avg, _, _ = render_frame_bidir(
+                state, cfg, frame_z, x_min, y_min, scale, settings,
+                window_cap, mode=mode, rasterizer=rasterizer,
+                decoded=decoded)
+            return avg
         avg, _, _, _ = render_frame_views(
             state, cfg, frame_z, x_min, y_min, scale, settings, window_cap,
             mode=mode, rasterizer=rasterizer, decoded=decoded,
