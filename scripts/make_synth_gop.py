@@ -69,9 +69,15 @@ def render_frame(t, w, h, blobs, pan, grids, detail=1.0):
     tex = detail * 0.05 * np.sin(80 * np.pi * bx) * np.sin(64 * np.pi * by)
     img += tex[..., None]
 
+    # FORWARD screen displacement of the background CONTENT: the pattern
+    # is sampled at (x + pan*t), so a feature's screen position obeys
+    # x(t) = c - pan*t and moves at -pan.  (The pre-round-5 sign (+pan)
+    # was the sampling-window velocity — opposite to the content motion
+    # the optical loss matches against (xy2 - xy1) - uv, reference
+    # utils/loss_utils.py:137; the blob branch below was always correct.)
     flow = np.empty((2, h, w), np.float32)
-    flow[0] = pan[0]
-    flow[1] = pan[1]
+    flow[0] = -pan[0]
+    flow[1] = -pan[1]
 
     for b in blobs:
         cx, cy = _blob_center(b, t)
