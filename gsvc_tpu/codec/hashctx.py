@@ -23,6 +23,14 @@ vectorized rANS call (codec/native.py per-element-probability API).
 Stream layout (self-contained):
   [u8 version=2][u16 n_ctx][n_ctx x u16 prob_q]
   [u32 plane_len x F][plane streams...]
+
+On SMALL tables the probability-table header (2 bytes/context) can
+outweigh the context gain; the encoder then falls back to the
+reference's single global Bernoulli as a version-1 stream
+  [u8 version=1][u16 prob_q][rANS stream]
+choosing whichever encoding is smaller — so the coded size never
+exceeds the global-Bernoulli estimate (estimate_final_bits) by more
+than the rANS constant (tests/test_estimate.py consistency gates).
 """
 
 from __future__ import annotations
@@ -91,12 +99,28 @@ def encode_hash_table(bits: np.ndarray,
 
     head = struct.pack("<BH", VERSION, nc) + prob_q.tobytes()
     head += struct.pack(f"<{nf}I", *(len(s) for s in planes))
-    return head + b"".join(planes)
+    ctx_blob = head + b"".join(planes)
+
+    # global-Bernoulli fallback (the reference's model): pick whichever
+    # stream is smaller, so tiny tables never pay the context header
+    flat = bits.reshape(-1)
+    p1 = (float(flat.sum()) + 0.5) / (flat.size + 1.0)
+    pq = int(np.clip(round(p1 * PROB_Q), 1, PROB_Q - 1))
+    glob = encode_binary(flat, np.full(flat.size, pq / PROB_Q))
+    glob_blob = struct.pack("<BH", 1, pq) + glob
+    return glob_blob if len(glob_blob) < len(ctx_blob) else ctx_blob
 
 
 def decode_hash_table(blob: bytes, level_sizes: Sequence[int],
                       n_features: int) -> np.ndarray:
-    version, nc = struct.unpack_from("<BH", blob, 0)
+    version = blob[0]
+    if version == 1:
+        (pq,) = struct.unpack_from("<H", blob, 1)
+        rows = int(np.sum(np.asarray(level_sizes, np.int64)))
+        n = rows * n_features
+        flat = decode_binary(blob[3:], n, np.full(n, pq / PROB_Q))
+        return np.asarray(flat, np.uint8).reshape(rows, n_features)
+    _, nc = struct.unpack_from("<BH", blob, 0)
     assert version == VERSION, f"unknown hash stream version {version}"
     off = 3
     n_levels = len(level_sizes)

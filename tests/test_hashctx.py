@@ -69,13 +69,31 @@ def test_level_bias_captured():
 
 
 def test_header_size_accounting():
+    # all-zero planes: the global-Bernoulli fallback (version 1) wins —
+    # the context header (2 bytes/context) would dwarf the payload
     bits = np.zeros((sum(LEVELS), 8), np.uint8)
     blob = encode_hash_table(bits, LEVELS)
     nc = n_contexts(len(LEVELS), 8)
     header = 3 + 2 * nc + 4 * 8
-    assert len(blob) >= header
-    # all-zero planes cost almost nothing beyond the header
-    assert len(blob) < header + 8 * 16
+    assert blob[0] == 1
+    assert len(blob) < header
+    dec = decode_hash_table(blob, LEVELS, 8)
+    np.testing.assert_array_equal(dec, bits)
+
+
+def test_fallback_bounds_size_by_global_model():
+    # random iid bits: context modeling finds nothing; the stream must
+    # not exceed the global-Bernoulli cost plus the rANS constant
+    # (the estimate_final_bits consistency contract)
+    rng = np.random.default_rng(5)
+    bits = (rng.random((sum(LEVELS), 4)) < 0.42).astype(np.uint8)
+    blob = encode_hash_table(bits, LEVELS)
+    n = bits.size
+    p = bits.mean()
+    h_global = n * (-(p * np.log2(p) + (1 - p) * np.log2(1 - p)))
+    assert len(blob) * 8 <= h_global + 512
+    dec = decode_hash_table(blob, LEVELS, 4)
+    np.testing.assert_array_equal(dec, bits)
 
 
 def test_bad_version_rejected():
