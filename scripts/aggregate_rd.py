@@ -27,14 +27,20 @@ def main(root: str) -> dict:
     rootp = pathlib.Path(root)
     points = []
     for d in sorted(list(rootp.glob("lmbda_*"))
-                    + list(rootp.glob("natural_*"))):
+                    + list(rootp.glob("natural_*"))
+                    + list(rootp.glob("realtex_*"))):
         res = d / "results.json"
         if not res.exists():
             print(f"[skip] {d.name}: no results.json (run incomplete)")
             continue
         r = json.loads(res.read_text())
         points.append({
-            "lmbda": float(d.name.split("_", 1)[1]),
+            "lmbda": float(d.name.rsplit("_", 1)[1]),
+            # content class: "lmbda" = legacy synthetic GOP; "natural" =
+            # detail=0.25 synthetic; "realtex" = mirror-tiled photographs
+            # (make_realtex_gop.py).  Curve properties are judged within
+            # one class only — cross-class bpp/psnr are incomparable.
+            "content": d.name.rsplit("_", 1)[0],
             "bpp": r.get("bpp"),
             "psnr": r.get("decoded_psnr"),
             "ms_ssim": r.get("decoded_ms_ssim"),
@@ -51,17 +57,24 @@ def main(root: str) -> dict:
             "eval_stride": r.get("eval_stride"),
             "eval_frames": r.get("eval_frames"),
         })
-    points.sort(key=lambda p: p["lmbda"])
+    points.sort(key=lambda p: (p["content"], p["lmbda"]))
 
-    # monotonicity along the sweep: higher lambda => lower rate, lower
-    # (or equal) distortion quality
-    mono_rate = all(points[i]["bpp"] >= points[i + 1]["bpp"]
-                    for i in range(len(points) - 1)
-                    if points[i]["bpp"] and points[i + 1]["bpp"])
-    by_bpp = sorted((p for p in points if p["bpp"] and p["psnr"]),
-                    key=lambda p: p["bpp"])
-    mono_psnr = all(by_bpp[i]["psnr"] <= by_bpp[i + 1]["psnr"]
-                    for i in range(len(by_bpp) - 1))
+    # monotonicity along the sweep, per content class: higher lambda =>
+    # lower rate; higher bpp => higher (or equal) psnr
+    def _mono(cls):
+        pts = [p for p in points if p["content"] == cls]
+        rate = all(pts[i]["bpp"] >= pts[i + 1]["bpp"]
+                   for i in range(len(pts) - 1)
+                   if pts[i]["bpp"] and pts[i + 1]["bpp"])
+        by_bpp = sorted((p for p in pts if p["bpp"] and p["psnr"]),
+                        key=lambda p: p["bpp"])
+        psnr = all(by_bpp[i]["psnr"] <= by_bpp[i + 1]["psnr"]
+                   for i in range(len(by_bpp) - 1))
+        return rate, psnr
+
+    classes = sorted({p["content"] for p in points})
+    mono_rate = all(_mono(c)[0] for c in classes)
+    mono_psnr = all(_mono(c)[1] for c in classes)
 
     strides = {p.get("eval_stride") for p in points}
     out = {
