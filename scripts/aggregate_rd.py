@@ -77,6 +77,16 @@ def main(root: str) -> dict:
     mono_psnr = all(_mono(c)[1] for c in classes)
 
     strides = {p.get("eval_stride") for p in points}
+    # content-difficulty anchors measured on the same frames
+    # (scripts/content_anchor.py / modern_anchor.py) — the realtex class
+    # is the meaningful comparison class, see README "Evaluation content"
+    anchors = {}
+    for cls, fname in (("natural", "natural_anchor.json"),
+                       ("realtex", "realtex_anchor.json"),
+                       ("realtex_modern", "realtex_modern.json")):
+        f = rootp / fname
+        if f.exists():
+            anchors[cls] = json.loads(f.read_text())
     out = {
         "points": points,
         # one shared eval protocol across all curve points (VERDICT r4
@@ -87,6 +97,7 @@ def main(root: str) -> dict:
                               strides, key=lambda s: (s is None, s))}),
         "monotone_rate_in_lambda": mono_rate,
         "monotone_psnr_in_bpp": mono_psnr,
+        "content_anchors": anchors,
         "published_reference": PUBLISHED_UVG,
     }
     (rootp / "rd_curve.json").write_text(json.dumps(out, indent=2))
