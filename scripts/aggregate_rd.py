@@ -26,9 +26,10 @@ PUBLISHED_UVG = {
 def main(root: str) -> dict:
     rootp = pathlib.Path(root)
     points = []
-    for d in sorted(list(rootp.glob("lmbda_*"))
-                    + list(rootp.glob("natural_*"))
-                    + list(rootp.glob("realtex_*"))):
+    for d in sorted(p for p in (list(rootp.glob("lmbda_*"))
+                                + list(rootp.glob("natural_*"))
+                                + list(rootp.glob("realtex_*")))
+                    if p.is_dir()):
         res = d / "results.json"
         if not res.exists():
             print(f"[skip] {d.name}: no results.json (run incomplete)")
